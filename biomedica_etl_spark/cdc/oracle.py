@@ -1,0 +1,59 @@
+"""Pure-Python replay oracle.
+
+Single-threaded, dict-based replay of a change log in global LSN order —
+the ground truth the Spark engine must match batch-for-batch and after
+arbitrary restarts. Mirrors the reference's operational correctness style
+(row-count completeness + content checks, reference
+``src/pmc_oa/download_batch.py:246-276``) but as an executable oracle.
+
+Semantics (shared with merge.py and encoded in tests):
+- events are totally ordered by ``lsn``; the max-LSN event per
+  ``(conv_id, turn_idx)`` wins (duplicates of the same lsn are verbatim
+  copies, so apply order among them is irrelevant);
+- ``I`` and ``U`` are both full-row upserts (U-of-absent-key inserts —
+  reference analogue: tolerant left join, ``scripts/05_json_to_entrez.py:329-330``);
+- ``D`` removes the key (D-of-absent-key is a no-op);
+- epoch-0/1 events lack ``tool`` -> NULL; ``turn_idx`` compares as int64.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+import pyarrow.dataset as ds
+
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _read_all_events(log_dir: str) -> list[dict[str, Any]]:
+    rows: list[dict[str, Any]] = []
+    for epoch_dir in sorted(glob.glob(os.path.join(log_dir, "schema_id=*"))):
+        dataset = ds.dataset(epoch_dir, format="parquet", partitioning="hive")
+        for batch in dataset.to_table().to_pylist():
+            batch.setdefault("tool", None)
+            batch["turn_idx"] = int(batch["turn_idx"])
+            rows.append(batch)
+    return rows
+
+
+def replay(log_dir: str, max_batch_id: int | None = None) -> list[dict[str, Any]]:
+    """Replay the log (optionally only batches <= max_batch_id) to final state.
+
+    Returns rows sorted by (conv_id, turn_idx) — the stable ordering the
+    pass gate compares under.
+    """
+    events = _read_all_events(log_dir)
+    if max_batch_id is not None:
+        events = [e for e in events if e["batch_id"] <= max_batch_id]
+    events.sort(key=lambda e: e["lsn"])
+
+    state: dict[tuple[str, int], dict[str, Any]] = {}
+    for e in events:
+        key = (e["conv_id"], e["turn_idx"])
+        if e["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = {c: e[c] for c in FINAL_COLS}
+    return [state[k] for k in sorted(state)]

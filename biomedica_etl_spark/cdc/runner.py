@@ -1,0 +1,109 @@
+"""Micro-batch apply loop: tail -> align schema -> LWW reduce -> MERGE -> commit.
+
+The engine's driver loop — reference analogue is the per-batch SLURM job
+chain (``scripts/03_download_batch_ftp.sh:36-60``) with diff-based resume.
+Each iteration:
+
+1. ``pending_batches`` (checkpoint anti-join) picks the next uncommitted
+   micro-batch;
+2. the batch is read with **partition pruning** — only its
+   ``schema_id=K/batch_id=N`` directory is listed/scanned;
+3. the epoch's physical schema is aligned to the target schema
+   (schema evolution, metadata-only);
+4. merge_batch LWW-reduces, COW-merges the affected buckets, commits one
+   snapshot, and appends per-partition lineage.
+
+Crash anywhere before the snapshot rename leaves only an unreferenced
+staging dir; restart re-derives pending work from the checkpoint and
+re-applies — exactly-once by fencing, value-idempotent by max-LSN merge.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .checkpoint import pending_batches, planned_batches
+from .merge import merge_batch
+from .schema import SchemaRegistry, align_to_target
+from .table import CowTable
+
+
+def read_batch(
+    spark: SparkSession, log_dir: str, batch_id: int, schema_id: int,
+    registry: SchemaRegistry,
+) -> DataFrame:
+    path = os.path.join(log_dir, f"schema_id={schema_id}", f"batch_id={batch_id}")
+    df = spark.read.schema(registry.get(schema_id)).parquet(path)
+    return align_to_target(df)
+
+
+@dataclass
+class RunResult:
+    batches_applied: list[int] = field(default_factory=list)
+    batches_skipped: list[int] = field(default_factory=list)
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+
+
+class CdcRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        table_root: str,
+        n_buckets: int = 16,
+        salted: bool = False,
+        n_salts: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.log_dir = log_dir
+        self.table = CowTable(table_root, n_buckets=n_buckets)
+        self.table.create()
+        self.salted = salted
+        self.n_salts = n_salts
+        self.registry = SchemaRegistry()
+        self.lineage_dir = os.path.join(table_root, "_lineage")
+
+    def pending(self) -> list[int]:
+        return pending_batches(self.spark, self.log_dir, self.table)
+
+    def run(self, max_batches: int | None = None) -> RunResult:
+        schema_of = dict(planned_batches(self.log_dir))
+        result = RunResult()
+        for batch_id in self.pending():
+            if max_batches is not None and len(result.batches_applied) >= max_batches:
+                break
+            changes = read_batch(
+                self.spark, self.log_dir, batch_id, schema_of[batch_id], self.registry
+            )
+            snap = merge_batch(
+                self.spark,
+                self.table,
+                changes,
+                batch_id,
+                salted=self.salted,
+                n_salts=self.n_salts,
+                lineage_dir=self.lineage_dir,
+            )
+            if snap is None:
+                result.batches_skipped.append(batch_id)
+            else:
+                result.batches_applied.append(batch_id)
+                result.rows_upserted += snap["summary"].get("rows_upserted", 0)
+                result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+        return result
+
+    def final_state(self) -> DataFrame:
+        """Live table ordered by the pass-gate stable ordering."""
+        return self.table.read(self.spark).orderBy("conv_id", "turn_idx")
+
+    def summary(self) -> dict[str, Any]:
+        snaps = self.table.snapshots()
+        return {
+            "snapshots": len(snaps),
+            "committed_batches": sorted(self.table.committed_batch_ids()),
+        }

@@ -1,0 +1,173 @@
+"""Snapshot-versioned copy-on-write table with hidden bucket partitioning.
+
+A minimal Iceberg-semantics table for environments without lakehouse jars
+(this sandbox has none — SURVEY.md §7.0): immutable parquet data files,
+hidden partitioning ``bucket = pmod(xxhash64(conv_id), n_buckets)``, a JSON
+snapshot manifest per commit, and atomic commits via write-temp + rename.
+
+Reference analogue: the JSON-batch sink's read-modify-write + file-roll +
+``get_next_index`` versioning (``src/pmc_oa/build_json.py:84-157``) — the
+roll-to-a-new-file-never-overwrite discipline is exactly a snapshot commit,
+and the separate output dir of the enrich stage
+(``scripts/05_json_to_entrez.py:332-334``) is its copy-on-write.
+
+Exactly-once fencing: every snapshot records the ``batch_id`` it applied.
+``committed_batch_ids()`` is the checkpoint; committing an already-applied
+batch_id is a structural no-op (merge.py checks before doing any work, and
+``commit`` re-checks immediately before the rename so a crashed-and-retried
+driver can never double-apply).
+
+Scale notes: data files for UNAFFECTED buckets are carried forward by
+manifest reference only — a merge that touches 3 of 1024 buckets rewrites
+3 buckets' files and zero bytes elsewhere. Readers prune to requested
+buckets from the manifest (file-level pruning, the moral equivalent of
+Iceberg hidden-partition pruning). Manifests hold one entry per bucket dir,
+not per file, so manifest size is O(buckets), independent of data size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(conv_col: str, n_buckets: int):
+    """Hidden-partitioning transform: bucket(n, conv_id)."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+def stored_schema() -> T.StructType:
+    fields = [T.StructField(n, t, True) for n, t in PAYLOAD_FIELDS]
+    fields.append(T.StructField(SYS_LSN, T.LongType(), True))
+    fields.append(T.StructField(SYS_DELETED, T.BooleanType(), True))
+    return T.StructType(fields)
+
+
+class CowTable:
+    def __init__(self, root: str, n_buckets: int = 16) -> None:
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        self.data_dir = os.path.join(root, "data")
+        self._n_buckets_arg = n_buckets
+
+    # ---- metadata ----------------------------------------------------
+    def create(self) -> None:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        if self.current_snapshot() is None:
+            self._write_snapshot(
+                {
+                    "snapshot_id": 0,
+                    "parent_id": None,
+                    "batch_id": None,
+                    "lsn_lo": None,
+                    "lsn_hi": None,
+                    "n_buckets": self._n_buckets_arg,
+                    "bucket_dirs": {},
+                    "summary": {"rows_upserted": 0, "rows_deleted": 0},
+                }
+            )
+
+    @property
+    def n_buckets(self) -> int:
+        snap = self.current_snapshot()
+        return snap["n_buckets"] if snap else self._n_buckets_arg
+
+    def _snap_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.snap_dir, f"snap-{snapshot_id:08d}.json")
+
+    def _write_snapshot(self, snap: dict[str, Any]) -> None:
+        path = self._snap_path(snap["snapshot_id"])
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic publish: readers never see a partial snapshot
+
+    def current_snapshot(self) -> dict[str, Any] | None:
+        snaps = sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json")))
+        if not snaps:
+            return None
+        with open(snaps[-1]) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def committed_batch_ids(self) -> set[int]:
+        return {s["batch_id"] for s in self.snapshots() if s["batch_id"] is not None}
+
+    # ---- read --------------------------------------------------------
+    def _files_for(self, snap: dict[str, Any], buckets: list[int] | None) -> list[str]:
+        files: list[str] = []
+        for b, d in snap["bucket_dirs"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
+        return files
+
+    def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Stored rows (incl. tombstones + system cols) for given buckets."""
+        snap = self.current_snapshot()
+        files = self._files_for(snap, buckets) if snap else []
+        if not files:
+            return spark.createDataFrame([], stored_schema())
+        return spark.read.schema(stored_schema()).parquet(*files)
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Live rows (tombstones filtered, system cols dropped)."""
+        raw = self.read_raw(spark, buckets)
+        return raw.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
+
+    # ---- write -------------------------------------------------------
+    def new_data_dir(self) -> str:
+        """Uncommitted staging dir; becomes live only via a manifest reference."""
+        d = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def commit(
+        self,
+        batch_id: int,
+        rewritten: dict[int, str],
+        lsn_lo: int | None,
+        lsn_hi: int | None,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
+        """Publish a snapshot: rewritten buckets point at new dirs, all other
+        buckets carry forward the parent's dirs. Returns the new snapshot, or
+        None if the batch_id was already committed (fencing no-op)."""
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        if batch_id in self.committed_batch_ids():
+            return None
+        bucket_dirs = dict(parent["bucket_dirs"])
+        for b, d in rewritten.items():
+            bucket_dirs[str(b)] = os.path.relpath(d, self.root)
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": batch_id,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "n_buckets": parent["n_buckets"],
+            "bucket_dirs": bucket_dirs,
+            "summary": summary or {},
+        }
+        self._write_snapshot(snap)
+        return snap
