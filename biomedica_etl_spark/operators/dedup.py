@@ -1,0 +1,259 @@
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline dedup family, each expressed as native
+DataFrame ops (no Python in the hot path) with a DuckDB oracle:
+
+- exact:        hash-groupBy on a normalized fingerprint;
+- n-gram Jaccard: shingle -> explode -> self-join on shingle -> ratio;
+- MinHash+LSH:  per-doc min-of-hash signatures, banded, candidate pairs
+                from band-bucket self-join (the scale path: no all-pairs);
+- SimHash:      16-bit signature from per-token md5 hex digits.
+
+Hashes are md5 (identical across Spark and DuckDB); minhash "values" are
+the lexicographic MIN of seeded md5 strings, which is engine-portable and
+just as uniform.
+
+Scale notes: the Jaccard self-join is quadratic in per-shingle frequency —
+at 100 TB you cap posting lists (drop shingles with df > threshold, as all
+large dedup systems do) and rely on MinHash/LSH; here the LSH variant IS
+the linear-shuffle path: each doc emits O(bands) rows, the join is on band
+keys, and hot bands are AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col
+from ..sources import tbl
+
+_WORDS = r"split(trim(lower(text)), '\\s+')"
+_SHINGLES_EXPR = f"""
+CASE WHEN size({_WORDS}) >= 3
+     THEN transform(sequence(1, size({_WORDS}) - 2),
+                    i -> concat_ws(' ', slice({_WORDS}, i, 3)))
+     ELSE array() END
+"""
+
+# DuckDB twin of the shingle CTE (1-based list indexing; range end-exclusive)
+_SHINGLES_CTE = r"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws)-1)
+                      ELSE CAST([] AS BIGINT[]) END) AS t(i)
+)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text fingerprint, keep min doc_id
+    (reference hash_image dedup key, src/pmc_oa/build_json.py:936-985).
+
+    The testdata corpus has no verbatim duplicates, so the input is the
+    corpus plus a shifted-id copy of every 10th doc — the operator then
+    provably collapses them (non-empty result to hash-check)."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dups)
+    return (
+        corpus.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter("n_copies > 1")
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM corpus
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY keep_doc_id
+"""
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(na, "d1").join(nb, "d2")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
+        .filter("jaccard >= 0.5")
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(inter / (na.n + nb.n - inter), 6) AS jaccard
+FROM pairs JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+WHERE round(inter / (na.n + nb.n - inter), 6) >= 0.5
+ORDER BY d1, d2
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+_N_HASHES = 4
+_BAND_SIZE = 2  # 2 bands of 2 minhashes
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: lexicographic min of seeded md5(shingle)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_SIG_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+       {", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    This is the linear-scale near-dup path: each doc emits one row per
+    band; the self-join is on the band value (hash-partitionable), never
+    all-pairs."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = [F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: majority vote per bit over md5(token) hex
+    digits (digit >= 8 => +1 else -1); bit set iff the vote is >= 0."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(F.instr(F.lit("89abcdef"), F.substring("h", i + 1, 1)) > 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for i in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"sum(CASE WHEN strpos('89abcdef', substr(h, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_SUM_SQL = " + ".join(
+    f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_SUM_SQL} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),
+    "simhash_16": (simhash_16, SIMHASH_SQL),
+}

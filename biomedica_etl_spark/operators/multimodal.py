@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + Arrow-batched UDFs.
+
+The reference's image pipeline (hash_image PIL thumbnailing,
+``src/pmc_oa/build_json.py:936-985``; WebDataset decode,
+``src/pmc_oa/data_loaders/wd_loader.py:5-61``) treats media as bytes plus
+typed metadata. Here the Spark-side plumbing is real — binary column,
+``mapInPandas`` with Arrow batches, typed output schema, partition-level
+batching — while the actual codec step is STUBBED (no image/audio libs in
+this container): a deterministic fake decode derived from byte length.
+
+``decode_image_batch`` is the swap-in point: replace the stub body with a
+real PIL/libvips call and nothing else changes. Per-batch vectorized
+pandas ops only — no per-row Python outside the pandas batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tbl
+
+DECODE_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, status string"
+
+
+def _decode_stub(n_bytes: pd.Series) -> pd.DataFrame:
+    """Deterministic fake of a codec: dims derived from payload length.
+
+    REAL IMPLEMENTATION STUB — with PIL available this becomes
+    ``Image.open(io.BytesIO(b)).size``; raise if someone expects real
+    decoding semantics from the fake.
+    """
+    return pd.DataFrame(
+        {
+            "width": (n_bytes % 640 + 16).astype("int32"),
+            "height": (n_bytes % 480 + 16).astype("int32"),
+            "status": "stub-decoded",
+        }
+    )
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in, typed metadata batch out.
+
+    Swap ``_decode_stub`` for the real codec (PIL/libvips/ffmpeg) when the
+    libs exist; the Arrow plumbing, schema, and batch shape stay as-is.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        meta = _decode_stub(n_bytes)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "width": meta["width"],
+                "height": meta["height"],
+                "status": meta["status"],
+            }
+        )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas decode -> typed metadata + quality gate.
+
+    The oracle can mirror the *stub's* arithmetic in SQL, so this stays a
+    fully-checked query even though the codec is fake. Scale: payloads
+    stay in executor Arrow batches end-to-end; only metadata columns come
+    out, so the downstream shuffle carries no media bytes.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    decoded = payloads.mapInPandas(decode_image_batch, DECODE_SCHEMA)
+    return (
+        decoded.withColumn("passes_gate", (F.col("width") > 20) & (F.col("height") > 20))
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+       'stub-decoded' AS status,
+       (octet_length(encode(text)) % 640 + 16 > 20
+        AND octet_length(encode(text)) % 480 + 16 > 20) AS passes_gate
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
+}

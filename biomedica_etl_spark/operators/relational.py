@@ -1,0 +1,452 @@
+"""Relational + CDC-primitive operators over the driver testdata.
+
+Each query maps a reference operator (SURVEY.md §2 ids in the docstrings)
+to its Spark-first expression, with a DuckDB oracle. All computed columns
+are aliased identically on both sides; money aggregates sum via
+DECIMAL(18,2) so the result is exact and order-independent (a plain
+double sum would hash-differ run to run at scale).
+
+Scale notes embedded per query; the common ones:
+- groupBy aggregates get map-side partial aggregation for free;
+- small dims are broadcast explicitly (``F.broadcast``) so the big side
+  never shuffles;
+- anti/semi joins replace the reference's driver-side ``set()`` diffs
+  (``src/pmc_oa/download_batch.py:279-316``) with distributed plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tbl
+
+
+# --- flagship: CDC LWW apply on the events stream table (A2/J3) -----------
+def lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-LSN last-writer-wins: latest event per user_id (event_id = LSN).
+
+    groupBy + max_by = hash aggregate WITH map-side partial reduce: a hot
+    user pre-combines on every input partition; only one row per
+    (partition, user) crosses the shuffle. The window-rank alternative
+    (lww_via_window) shuffles every raw row — this is the scale path.
+    """
+    e = tbl(spark, sf_dir, "events")
+    val = F.struct("event_type", "value", "ts")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by(val, F.col("event_id")).alias("_w"),
+        )
+        .select(
+            "user_id",
+            "last_event_id",
+            F.col("_w.event_type").alias("last_event_type"),
+            F.col("_w.value").alias("last_value"),
+            F.col("_w.ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LWW_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value, ts AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def lww_via_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LWW semantics via window row_number (reference A2 idiom).
+
+    Kept as the non-partial-agg variant: correct, but shuffles+sorts all
+    rows per key — use lww_latest_event_per_user at scale.
+    """
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving first-seen dedup per (user_id, event_type) — A2
+    (reference remove_duplicates, src/pmc_oa/build_json.py:828-846)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"),
+             F.min_by(F.col("value"), F.col("event_id")).alias("first_value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+DEDUP_FIRST_SEEN_SQL = """
+SELECT user_id, event_type,
+       min(event_id) AS first_event_id,
+       arg_min(value, event_id) AS first_value
+FROM events GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+# --- J1: resume anti-join ---------------------------------------------------
+def anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders = manifest MINUS completed-log (reference
+    create_subset_based_on_file_diff, src/pmc_oa/download_batch.py:279-316).
+
+    left_anti keeps the build side (orders keys) shuffled once; at scale
+    prefer the smaller side as build or pre-bucket both on the key.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: customers that do have orders (key-scoped replay)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- J6: broadcast dim joins ------------------------------------------------
+def broadcast_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts + balance per region via two explicit broadcast
+    joins (reference taxonomy/label dict probes,
+    scripts/06_serilaize_to_webdataset_parallel.py:125-157).
+
+    nation/region are tiny dims: broadcast keeps the customer scan
+    shuffle-free — at 100 TB the fact side never moves.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+BROADCAST_ENRICH_SQL = """
+SELECT r_name AS region_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY region_name
+"""
+
+
+# --- P1: isin routing filter -------------------------------------------------
+def filter_isin_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way license-split analogue (scripts/01_download_filelists.py:35-63):
+    route rows by a derived class column; the filter pushes to the scan."""
+    o = tbl(spark, sf_dir, "orders")
+    urgent = ["1-URGENT", "2-HIGH"]
+    routed = o.withColumn(
+        "route",
+        F.when(F.col("o_orderpriority").isin(urgent), F.lit("fast"))
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("medium"))
+        .otherwise(F.lit("slow")),
+    )
+    return routed.groupBy("route").agg(F.count("*").alias("n_orders")).orderBy("route")
+
+
+FILTER_ISIN_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'fast'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+            ELSE 'slow' END AS route,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY route
+"""
+
+
+# --- P4: empty-string -> NULL normalize --------------------------------------
+def null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_json.py:905-920 semantics: ''/whitespace -> NULL, else trimmed."""
+    d = tbl(spark, sf_dir, "documents")
+    cleaned = F.when(F.trim(F.col("source")) == "", None).otherwise(F.trim(F.col("source")))
+    return d.select("doc_id", cleaned.alias("source_clean")).orderBy("doc_id")
+
+
+NULL_NORMALIZE_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(source) = '' THEN NULL ELSE trim(source) END AS source_clean
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- A1: group-collect ---------------------------------------------------------
+def group_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_paragraphs analogue (src/pmc_oa/build_json.py:794-804): group
+    values into a per-key collection; sorted + joined so the result is
+    order-deterministic on both engines."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+GROUP_COLLECT_SQL = """
+SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- A4 / A5 ---------------------------------------------------------------
+def count_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-style counts per class (reference completeness checks,
+    src/pmc_oa/download_batch.py:246-276)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COUNT_AGG_SQL = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def max_over_group_next_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_next_index analogue (src/pmc_oa/build_json.py:125-157):
+    monotone next id per group = max + 1 (snapshot-id fencing)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg((F.max("event_id") + F.lit(1)).alias("next_index"))
+        .orderBy("user_id")
+    )
+
+
+MAX_OVER_GROUP_SQL = """
+SELECT user_id, max(event_id) + 1 AS next_index
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- O4: offset-range batching ---------------------------------------------
+def offset_range_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_batch_sequence analogue (src/pmc_oa/download_batch.py:320-369):
+    contiguous offset ranges of the log; per-batch bounds for checkpoints."""
+    e = tbl(spark, sf_dir, "events")
+    b = e.withColumn("batch_id", (F.col("event_id") / F.lit(100)).cast("bigint"))
+    return (
+        b.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("lsn_lo"),
+            F.max("event_id").alias("lsn_hi"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+OFFSET_RANGE_SQL = """
+SELECT CAST(event_id // 100 AS BIGINT) AS batch_id, count(*) AS n_events,
+       min(event_id) AS lsn_lo, max(event_id) AS lsn_hi
+FROM events GROUP BY 1 ORDER BY batch_id
+"""
+
+
+# --- T3: schema-evolution-tolerant union ------------------------------------
+def union_all_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) — the schema-evolution union
+    (reference concat of evolving record lists, loader_utils.py:82)."""
+    e = tbl(spark, sf_dir, "events")
+    old = e.filter("event_id < 200").select("event_id", "user_id")
+    new = e.filter("event_id >= 200").select("event_id", "user_id", "event_type")
+    return old.unionByName(new, allowMissingColumns=True).orderBy("event_id")
+
+
+UNION_EVOLVED_SQL = """
+SELECT event_id, user_id, NULL AS event_type FROM events WHERE event_id < 200
+UNION ALL
+SELECT event_id, user_id, event_type FROM events WHERE event_id >= 200
+ORDER BY event_id
+"""
+
+
+# --- O3: top-k per group ------------------------------------------------------
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window rank (reference [:20] images per cluster,
+    scripts/Labeler/label.py:218-219); deterministic tie-break on event_id."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+TOPK_SQL = """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3 ORDER BY event_type, rank
+"""
+
+
+# --- windows over time --------------------------------------------------------
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (streaming watermark analogue —
+    per-partition max(ts) carried in lineage, SURVEY.md §2.8)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("window_start")
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY window_start
+"""
+
+
+# --- TPC-H-style headline queries --------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy agg; decimal sums for exactness. The
+    filter + 6 aggregates run in one WholeStageCodegen pass over the scan."""
+    l = tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact join + top-k. customer filter is
+    broadcast; lineitem joins orders on the key both sides shuffle on once
+    (at scale: bucket both on orderkey to make it shuffle-free)."""
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "lww_latest_event_per_user": (lww_latest_event_per_user, LWW_LATEST_SQL),
+    "lww_via_window": (lww_via_window, LWW_LATEST_SQL),
+    "dedup_first_seen": (dedup_first_seen, DEDUP_FIRST_SEEN_SQL),
+    "anti_join_resume": (anti_join_resume, ANTI_JOIN_SQL),
+    "semi_join_active": (semi_join_active, SEMI_JOIN_SQL),
+    "broadcast_enrich_region": (broadcast_enrich_region, BROADCAST_ENRICH_SQL),
+    "filter_isin_route": (filter_isin_route, FILTER_ISIN_SQL),
+    "null_normalize": (null_normalize, NULL_NORMALIZE_SQL),
+    "group_collect_ordered": (group_collect_ordered, GROUP_COLLECT_SQL),
+    "count_agg_metrics": (count_agg_metrics, COUNT_AGG_SQL),
+    "max_over_group_next_index": (max_over_group_next_index, MAX_OVER_GROUP_SQL),
+    "offset_range_batching": (offset_range_batching, OFFSET_RANGE_SQL),
+    "union_all_evolved": (union_all_evolved, UNION_EVOLVED_SQL),
+    "topk_per_group": (topk_per_group, TOPK_SQL),
+    "tumbling_window_counts": (tumbling_window_counts, TUMBLING_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue": (q3_top_revenue, Q3_SQL),
+}
