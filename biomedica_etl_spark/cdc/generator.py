@@ -30,6 +30,7 @@ from dataclasses import asdict, dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ROLES = np.array(["user", "assistant", "system", "tool"])
@@ -58,6 +59,11 @@ class GeneratorConfig:
     schema_epoch_starts: tuple[float, ...] = (0.0, 0.4, 0.7)
     avg_text_len: int = 120
     filler_word: str = " lorem"
+    # WAL-segment file sizing: a batch is many small-ish files (like real
+    # binlog segments), so Spark gets file-level scan parallelism; row
+    # groups sized so one file never collapses into a single split
+    rows_per_file: int = 50_000
+    row_group_size: int = 25_000
 
 
 @dataclass
@@ -194,6 +200,11 @@ def generate_change_log(out_dir: str, cfg: GeneratorConfig) -> GeneratedLog:
     )
     os.makedirs(out_dir, exist_ok=True)
 
+    # small lookup tables so per-row formatting never runs Python per event
+    conv_pad = np.array([f"{i:06d}" for i in range(cfg.n_convs)])
+    tool_names = np.array([f"tool-{i}" for i in range(20)])
+    null_str = pa.scalar(None, pa.string())
+
     for b in range(n_batches):
         rows = np.flatnonzero(all_batch == b)
         if cfg.out_of_order:
@@ -202,34 +213,44 @@ def generate_change_log(out_dir: str, cfg: GeneratorConfig) -> GeneratedLog:
         epoch = int(schema_of_batch[b])
         meta.batch_schema[b] = epoch
 
-        b_is_del = is_del[src]
-        b_role = np.where(b_is_del, None, ROLES[role_idx[src]])
+        del_mask = pa.array(is_del[src])
+        conv_str = pa.array(conv_pad[conv[src]])
         b_turn = turn[src]
-        head = [
-            f"c{c:06d}-t{t}-l{l}:" for c, t, l in zip(conv[src], b_turn, lsn[src])
-        ]
-        b_text = np.where(
-            b_is_del,
-            None,
-            np.char.add(np.array(head, dtype=object).astype("U64"),
-                        np.char.multiply(filler, text_pad[src])),
+        turn_str = pc.cast(pa.array(b_turn), pa.string())
+        lsn_str = pc.cast(pa.array(lsn[src]), pa.string())
+        head = pc.binary_join_element_wise(
+            "c", conv_str, "-t", turn_str, "-l", lsn_str, ":", ""
         )
+        pad = pc.binary_repeat(
+            pa.array(np.full(len(src), filler)), pa.array(text_pad[src], pa.int32())
+        )
+        b_text = pc.if_else(
+            del_mask, null_str, pc.binary_join_element_wise(head, pad, "")
+        )
+        b_role = pc.if_else(del_mask, null_str, pa.array(ROLES[role_idx[src]]))
         arrays: dict[str, pa.Array] = {
             "lsn": pa.array(lsn[src], pa.int64()),
             "op": pa.array(np.take(np.array(["I", "U", "D"]), op[src])),
-            "conv_id": pa.array([f"conv-{c:06d}" for c in conv[src]], pa.string()),
+            "conv_id": pc.binary_join_element_wise("conv-", conv_str, ""),
             "turn_idx": pa.array(b_turn, pa.int64() if epoch >= 2 else pa.int32()),
-            "role": pa.array(b_role.tolist(), pa.string()),
-            "text": pa.array(b_text.tolist(), pa.string()),
+            "role": b_role,
+            "text": b_text,
         }
         if epoch >= 1:
-            b_tool = np.where(has_tool[src], [f"tool-{t}" for t in tool_num[src]], None)
-            arrays["tool"] = pa.array(b_tool.tolist(), pa.string())
+            arrays["tool"] = pc.if_else(
+                pa.array(has_tool[src]), pa.array(tool_names[tool_num[src]]), null_str
+            )
         arrays["ts"] = pa.array(ts_us[src], pa.timestamp("us"))
         table = pa.table(arrays)
         d = os.path.join(out_dir, f"schema_id={epoch}", f"batch_id={b}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        for fi, lo in enumerate(range(0, max(table.num_rows, 1), cfg.rows_per_file)):
+            chunk = table.slice(lo, cfg.rows_per_file)
+            pq.write_table(
+                chunk,
+                os.path.join(d, f"part-{fi:05d}.parquet"),
+                row_group_size=cfg.row_group_size,
+            )
 
     with open(os.path.join(out_dir, "_meta.json"), "w") as f:
         json.dump(

@@ -31,10 +31,16 @@ LINEAGE_COLS = [
 ]
 
 
-def delta_partition_metrics(delta: DataFrame, batch_id: int) -> list[dict[str, Any]]:
-    """One metrics row per (spark partition, bucket) of the reduced delta."""
+def delta_partition_metrics(changes_bucketed: DataFrame, batch_id: int) -> list[dict[str, Any]]:
+    """One metrics row per (spark partition, bucket) of the incoming batch.
+
+    Runs on the RAW change events (pre-reduce): the aggregation emits one
+    tiny row per (input partition, bucket), so the shuffle is a few hundred
+    rows regardless of batch size and the wide text column never leaves the
+    scan — a separate cheap pass instead of persisting the reduced delta.
+    """
     agg = (
-        delta.groupBy(
+        changes_bucketed.groupBy(
             F.spark_partition_id().alias("partition_id"), F.col(BUCKET_COL).alias("bucket")
         )
         .agg(

@@ -27,7 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from .checkpoint import pending_batches, planned_batches
-from .merge import merge_batch
+from .merge import compact, merge_batch, mor_apply_batch
 from .schema import SchemaRegistry, align_to_target
 from .table import CowTable
 
@@ -58,13 +58,23 @@ class CdcRunner:
         n_buckets: int = 16,
         salted: bool = False,
         n_salts: int = 8,
+        mode: str = "cow",
+        compact_every: int = 8,
     ) -> None:
+        """mode='cow': read-optimized, each batch rewrites affected buckets.
+        mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
+        batch appends an O(delta) layer; layers fold into the base whenever
+        any bucket accumulates ``compact_every`` of them."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.log_dir = log_dir
         self.table = CowTable(table_root, n_buckets=n_buckets)
         self.table.create()
         self.salted = salted
         self.n_salts = n_salts
+        self.mode = mode
+        self.compact_every = compact_every
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
 
@@ -80,7 +90,8 @@ class CdcRunner:
             changes = read_batch(
                 self.spark, self.log_dir, batch_id, schema_of[batch_id], self.registry
             )
-            snap = merge_batch(
+            apply_fn = merge_batch if self.mode == "cow" else mor_apply_batch
+            snap = apply_fn(
                 self.spark,
                 self.table,
                 changes,
@@ -89,6 +100,8 @@ class CdcRunner:
                 n_salts=self.n_salts,
                 lineage_dir=self.lineage_dir,
             )
+            if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
+                compact(self.spark, self.table)
             if snap is None:
                 result.batches_skipped.append(batch_id)
             else:

@@ -75,6 +75,7 @@ class CowTable:
                     "lsn_hi": None,
                     "n_buckets": self._n_buckets_arg,
                     "bucket_dirs": {},
+                    "delta_dirs": {},
                     "summary": {"rows_upserted": 0, "rows_deleted": 0},
                 }
             )
@@ -114,20 +115,50 @@ class CowTable:
         return {s["batch_id"] for s in self.snapshots() if s["batch_id"] is not None}
 
     # ---- read --------------------------------------------------------
+    def _dirs_for(
+        self, snap: dict[str, Any], key: str, buckets: list[int] | None
+    ) -> list[str]:
+        out: list[str] = []
+        for b, d in snap.get(key, {}).items():
+            if buckets is None or int(b) in buckets:
+                out.extend(d if isinstance(d, list) else [d])
+        return out
+
     def _files_for(self, snap: dict[str, Any], buckets: list[int] | None) -> list[str]:
         files: list[str] = []
-        for b, d in snap["bucket_dirs"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
+        for d in self._dirs_for(snap, "bucket_dirs", buckets):
+            files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
+        return files
+
+    def _delta_files_for(self, snap: dict[str, Any], buckets: list[int] | None) -> list[str]:
+        files: list[str] = []
+        for d in self._dirs_for(snap, "delta_dirs", buckets):
+            files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
         return files
 
     def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Stored rows (incl. tombstones + system cols) for given buckets."""
+        """Resolved stored rows (incl. tombstones + system cols).
+
+        COW-only snapshots read the base files directly. When merge-on-read
+        delta layers exist, the view is resolved on the fly: base UNION
+        deltas, max-_lsn winner per key (groupBy + max_by — partial-agg
+        shuffle, same reducer as ingest). Iceberg-v2-MOR semantics without
+        the jar."""
         snap = self.current_snapshot()
-        files = self._files_for(snap, buckets) if snap else []
-        if not files:
+        base_files = self._files_for(snap, buckets) if snap else []
+        delta_files = self._delta_files_for(snap, buckets) if snap else []
+        if not base_files and not delta_files:
             return spark.createDataFrame([], stored_schema())
-        return spark.read.schema(stored_schema()).parquet(*files)
+        df = spark.read.schema(stored_schema()).parquet(*base_files, *delta_files)
+        if not delta_files:
+            return df
+        value_cols = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
+        return (
+            df.groupBy("conv_id", "turn_idx")
+            .agg(F.max_by(F.struct(*value_cols), F.col(SYS_LSN)).alias("_w"))
+            .select("conv_id", "turn_idx",
+                    *[F.col(f"_w.{c}").alias(c) for c in value_cols])
+        )
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         """Live rows (tombstones filtered, system cols dropped)."""
@@ -154,11 +185,14 @@ class CowTable:
         None if the batch_id was already committed (fencing no-op)."""
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
-        if batch_id in self.committed_batch_ids():
+        if batch_id is not None and batch_id in self.committed_batch_ids():
             return None
         bucket_dirs = dict(parent["bucket_dirs"])
+        delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
         for b, d in rewritten.items():
             bucket_dirs[str(b)] = os.path.relpath(d, self.root)
+            # a rewritten bucket has its delta layers folded in
+            delta_dirs.pop(str(b), None)
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
@@ -167,7 +201,45 @@ class CowTable:
             "lsn_hi": lsn_hi,
             "n_buckets": parent["n_buckets"],
             "bucket_dirs": bucket_dirs,
+            "delta_dirs": delta_dirs,
             "summary": summary or {},
         }
         self._write_snapshot(snap)
         return snap
+
+    def commit_delta(
+        self,
+        batch_id: int,
+        appended: dict[int, str],
+        lsn_lo: int | None,
+        lsn_hi: int | None,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
+        """Merge-on-read commit: append a delta layer per bucket; base files
+        untouched. O(delta) write cost — the ingest-optimized path."""
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return None
+        delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
+        for b, d in appended.items():
+            delta_dirs.setdefault(str(b), []).append(os.path.relpath(d, self.root))
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": batch_id,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "n_buckets": parent["n_buckets"],
+            "bucket_dirs": dict(parent["bucket_dirs"]),
+            "delta_dirs": delta_dirs,
+            "summary": {**(summary or {}), "commit_type": "append-delta"},
+        }
+        self._write_snapshot(snap)
+        return snap
+
+    def max_delta_layers(self) -> int:
+        snap = self.current_snapshot()
+        if not snap:
+            return 0
+        return max((len(v) for v in snap.get("delta_dirs", {}).values()), default=0)
