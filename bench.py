@@ -142,6 +142,16 @@ def main() -> None:
 
 SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "8000000"))
 SCALING_BATCHES = int(os.environ.get("SPARK_GRAFT_SCALING_BATCHES", "2"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+
+
+def _steal_ticks() -> int:
+    """CPU ticks stolen by the hypervisor (this sandbox VM is throttled in
+    bursts; a run with high steal measures the host, not the engine)."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:  # noqa: BLE001
+        return 0
 
 
 def scaling_main() -> None:
@@ -153,14 +163,28 @@ def scaling_main() -> None:
     at 10^10 scale)."""
     results = {}
     workdir = tempfile.mkdtemp(prefix="bench-scaling-")
+    # best-of-N per configuration: the sandbox VM suffers bursty hypervisor
+    # CPU steal, so the minimum wall time is the engine's number; steal% is
+    # recorded per attempt for honesty
     for cores in (8, 32):
-        spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores,
-                          shuffle_partitions=cores)
-        sec, events = run_cdc_apply(spark, os.path.join(workdir, str(cores)),
-                                    events=SCALING_EVENTS, batches=SCALING_BATCHES)
-        spark.stop()
-        results[cores] = {"sec": round(sec, 2), "events_per_sec": round(events / sec, 1)}
-        print(f"local[{cores}]: {sec:.1f}s  {events / sec:,.0f} events/s", file=sys.stderr)
+        attempts = []
+        for i in range(SCALING_REPEATS):
+            spark = get_spark(app_name=f"bench-scaling-{cores}-{i}", cores=cores,
+                              shuffle_partitions=cores)
+            s0 = _steal_ticks()
+            sec, events = run_cdc_apply(spark, os.path.join(workdir, f"{cores}-{i}"),
+                                        events=SCALING_EVENTS, batches=SCALING_BATCHES)
+            steal_pct = (_steal_ticks() - s0) / max(sec * 100 * 32, 1) * 100
+            spark.stop()
+            attempts.append({"sec": round(sec, 2), "steal_pct": round(steal_pct, 1)})
+            print(f"local[{cores}] try{i}: {sec:.1f}s steal={steal_pct:.1f}%",
+                  file=sys.stderr)
+        best = min(a["sec"] for a in attempts)
+        results[cores] = {
+            "sec": best,
+            "events_per_sec": round(events / best, 1),
+            "attempts": attempts,
+        }
     speedup = results[8]["sec"] / results[32]["sec"]
     efficiency = speedup / 4
     md = f"""# BENCH baseline — CDC apply throughput + scaling
@@ -183,6 +207,9 @@ cores), per the driver instructions.
 
 - speedup 8->32 cores (4x resources): **{speedup:.2f}x**
 - scaling efficiency = speedup / 4 = **{efficiency:.2f}**
+- per-attempt walls (best-of-{SCALING_REPEATS}; this VM sees bursty
+  hypervisor CPU steal, recorded per attempt):
+  local[8] {results[8]["attempts"]}, local[32] {results[32]["attempts"]}
 
 Notes: single-JVM local mode understates scaling vs a real 4x-executor
 cluster (shared driver, GC, page cache, and Python driver loop are

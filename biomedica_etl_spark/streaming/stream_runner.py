@@ -1,0 +1,98 @@
+"""Structured Streaming front-end for the CDC apply loop.
+
+The batch runner (cdc/runner.py) is the deterministic, testable loop the
+reference's SLURM chain maps to; this module is the continuous variant: a
+``readStream`` file source tails the change-log directory (one stream per
+schema epoch, unioned after alignment) and ``foreachBatch`` funnels every
+micro-batch through the exact same LWW-reduce -> merge -> snapshot-commit
+machinery, so both entry points share one correctness story.
+
+Exactly-once: Structured Streaming's own checkpoint guarantees each file is
+delivered in exactly one micro-batch with a stable ``batch_id`` (epoch id);
+our snapshot fencing makes replayed epochs (after a crash between sink
+commit and stream checkpoint) structural no-ops. Because the merge is
+max-LSN order-independent, how files happen to group into micro-batches
+cannot change the converged table.
+
+At scale the same topology runs against a Kafka/binlog source: swap the
+file source for ``spark.readStream.format("kafka")`` + payload decode; the
+foreachBatch body is unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import reduce as _reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cdc.merge import compact, merge_batch, mor_apply_batch
+from ..cdc.schema import SchemaRegistry, align_to_target
+from ..cdc.table import CowTable
+
+# streaming commits are fenced in their own id space so they can never
+# collide with batch-runner commits on the same table
+STREAM_BATCH_BASE = 1_000_000_000
+
+
+def _epoch_streams(
+    spark: SparkSession, log_dir: str, registry: SchemaRegistry,
+    max_files_per_trigger: int | None,
+) -> list[DataFrame]:
+    streams = []
+    for d in sorted(glob.glob(os.path.join(log_dir, "schema_id=*"))):
+        epoch = int(os.path.basename(d).split("=")[1])
+        reader = spark.readStream.schema(registry.get(epoch))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        streams.append(align_to_target(reader.parquet(os.path.join(d, "batch_id=*"))))
+    return streams
+
+
+def stream_apply(
+    spark: SparkSession,
+    log_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    mode: str = "mor",
+    compact_every: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail the log as a stream and apply micro-batches to the table.
+
+    With ``available_now=True`` (default) processes everything currently in
+    the log and stops — deterministic and testable; with False it runs
+    until ``query.stop()``. Returns the streaming query handle.
+    """
+    registry = SchemaRegistry()
+    table = CowTable(table_root, n_buckets=n_buckets)
+    table.create()
+    streams = _epoch_streams(spark, log_dir, registry, max_files_per_trigger)
+    if not streams:
+        raise ValueError(f"no schema_id=* dirs under {log_dir}")
+    unioned = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), streams)
+
+    apply_fn = merge_batch if mode == "cow" else mor_apply_batch
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_fn(
+            spark,
+            table,
+            batch_df,
+            batch_id=STREAM_BATCH_BASE + epoch_id,
+            lineage_dir=os.path.join(table_root, "_lineage"),
+        )
+        if mode == "mor" and table.max_delta_layers() >= compact_every:
+            compact(spark, table)
+
+    writer = (
+        unioned.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
