@@ -1,4 +1,4 @@
-"""Key-partitioned copy-on-write MERGE of one micro-batch into the table.
+"""Key-partitioned MERGE of one micro-batch into the table.
 
 Equivalent of ``MERGE INTO transcripts USING delta ON (conv_id, turn_idx)
 WHEN MATCHED AND delta.lsn > base._lsn ...`` expressed as a DataFrame plan
@@ -17,17 +17,38 @@ state as the oracle's global-LSN replay, and replaying an already-applied
 batch is a value-level no-op even before snapshot fencing turns it into a
 structural no-op.
 
+Physical plans (measured on local[32]; see BENCH/BASELINE.md):
+
+- **MOR apply (default ingest path)** is ONE wide Spark job: the raw batch
+  is shuffled once on ``(bucket(conv_id), salt(turn_idx))``; because the
+  aggregation keys are a superset of the partitioning keys, Catalyst
+  inserts no further exchange, and the ``partitionBy(bucket)`` write emits
+  at most ``shuffle_salts`` files per bucket straight out of the aggregate
+  (the salt spreads a zipf-hot conversation's bucket over ``k`` writer
+  tasks instead of one straggler — see lww_reduce_aligned). Raw-batch
+  metrics (offsets, lsn range, watermark) ride along via ``df.observe`` —
+  computed inside the same job, zero extra passes. A second, O(delta)
+  column-pruned job over the just-written layer produces the per-bucket
+  lineage rows.
+- **COW merge** runs Iceberg-MERGE-style: a *planning* job scans only
+  ``(conv_id, op, lsn, ts)`` (never the text payload) to find affected
+  buckets + per-bucket raw metrics, then ONE wide job does
+  ``union(base-as-events, changes) -> LWW reduce -> write`` — the
+  max-lsn-wins full-outer merge collapses into the same single-shuffle
+  aligned reduce, because a stored row is just an event with lsn =
+  ``_lsn`` (tombstones are deletes). Three shuffles (reduce + join +
+  repartition-for-write) become one.
+- ``plan="classic"`` keeps the original two-shuffle reduce + full-outer
+  join formulation; tests assert both plans produce identical state.
+
 Scale notes:
 - Only buckets touched by the delta are read and rewritten (file pruning
-  via the snapshot manifest). 100 TB table + 1 GB delta => the join reads
+  via the snapshot manifest). 100 TB table + 1 GB delta => the merge reads
   |affected buckets|, not the table.
-- The delta after LWW-reduce is small relative to base; Spark/AQE
-  broadcasts it when under threshold, else it's a shuffle join on the key
-  with AQE skew splitting. The base side arrives bucket-partitioned from
-  disk.
-- The rewrite is ``repartition(n_affected, bucket)`` + ``partitionBy`` so
-  each bucket's files are written by one task straight from the join
-  output — one shuffle total for join+write.
+- Hot conversations: map-side partial aggregation pre-combines duplicate
+  keys per input partition before the wire in the classic plan; the
+  explicit two-phase salted reducer (``salted=True``) spreads a hot key
+  over ``n_salts`` reducers and is proven equal in tests.
 """
 
 from __future__ import annotations
@@ -36,95 +57,29 @@ import glob
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .lineage import delta_partition_metrics
-from .reduce import lww_reduce, lww_reduce_salted
-from .schema import KEY_COLS, PAYLOAD_COLS, SYS_DELETED, SYS_LSN
+from .lineage import append_lineage
+from .reduce import lww_reduce, lww_reduce_aligned, lww_reduce_salted
+from .schema import CHANGE_COLS, KEY_COLS, PAYLOAD_COLS, SYS_DELETED, SYS_LSN
 from .table import BUCKET_COL, CowTable, bucket_expr
 
+def _raw_metric_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("offsets_applied"),
+        F.sum((F.col("op") != "D").cast("long")).alias("rows_upserted"),
+        F.sum((F.col("op") == "D").cast("long")).alias("rows_deleted"),
+        F.min("lsn").alias("lsn_lo"),
+        F.max("lsn").alias("lsn_hi"),
+        F.max("ts").alias("watermark"),
+    ]
 
-def merge_batch(
-    spark: SparkSession,
-    table: CowTable,
-    changes: DataFrame,
-    batch_id: int,
-    salted: bool = False,
-    n_salts: int = 8,
-    lineage_dir: str | None = None,
-    one_file_per_bucket: bool = True,
-) -> dict[str, Any] | None:
-    """LWW-reduce ``changes`` and merge into ``table`` as one commit.
 
-    Returns the committed snapshot dict, or None when batch_id was already
-    applied (exactly-once no-op).
-    """
-    if batch_id in table.committed_batch_ids():
-        return None
-
-    n_buckets = table.n_buckets
-    stats_rows = delta_partition_metrics(
-        changes.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets)), batch_id
+def _with_bucket(changes: DataFrame, n_buckets: int) -> DataFrame:
+    return changes.select(*CHANGE_COLS).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", n_buckets)
     )
-    if not stats_rows:
-        table.commit(batch_id, {}, None, None, {"rows_upserted": 0, "rows_deleted": 0})
-        return table.current_snapshot()
-    affected = sorted({r["bucket"] for r in stats_rows if r["bucket"] is not None})
-    lsn_lo = min(r["lsn_lo"] for r in stats_rows)
-    lsn_hi = max(r["lsn_hi"] for r in stats_rows)
-
-    delta = (lww_reduce_salted(changes, n_salts) if salted else lww_reduce(changes))
-    base = table.read_raw(spark, buckets=affected)
-
-    d = delta.select(
-        *KEY_COLS,
-        *[F.col(c).alias(f"_d_{c}") for c in PAYLOAD_COLS if c not in KEY_COLS],
-        F.col("lsn").alias("_d_lsn"),
-        (F.col("op") == "D").alias("_d_del"),
-    )
-    joined = base.join(d, on=KEY_COLS, how="full_outer")
-    delta_wins = F.col("_d_lsn").isNotNull() & (
-        F.col(SYS_LSN).isNull() | (F.col("_d_lsn") > F.col(SYS_LSN))
-    )
-    merged = joined.select(
-        *KEY_COLS,
-        *[
-            F.when(delta_wins, F.col(f"_d_{c}")).otherwise(F.col(c)).alias(c)
-            for c in PAYLOAD_COLS
-            if c not in KEY_COLS
-        ],
-        F.when(delta_wins, F.col("_d_lsn")).otherwise(F.col(SYS_LSN)).alias(SYS_LSN),
-        F.when(delta_wins, F.col("_d_del"))
-        .otherwise(F.coalesce(F.col(SYS_DELETED), F.lit(False)))
-        .alias(SYS_DELETED),
-    ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
-
-    stage = table.new_data_dir()
-    if one_file_per_bucket:
-        # exactly one file per bucket dir: costs one extra full shuffle
-        # of the merged output; right when downstream reads dominate
-        merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
-    rewritten = {
-        int(os.path.basename(p).split("=")[1]): p
-        for p in glob.glob(os.path.join(stage, f"{BUCKET_COL}=*"))
-    }
-    upserts = sum(r["rows_upserted"] for r in stats_rows)
-    deletes = sum(r["rows_deleted"] for r in stats_rows)
-    snap = table.commit(
-        batch_id,
-        rewritten,
-        lsn_lo,
-        lsn_hi,
-        {"rows_upserted": upserts, "rows_deleted": deletes,
-         "buckets_rewritten": len(rewritten)},
-    )
-    if snap is not None and lineage_dir is not None:
-        from .lineage import append_lineage
-
-        append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
-    return snap
 
 
 def _to_stored(delta: DataFrame) -> DataFrame:
@@ -138,6 +93,173 @@ def _to_stored(delta: DataFrame) -> DataFrame:
     )
 
 
+def _base_as_changes(base: DataFrame, n_buckets: int) -> DataFrame:
+    """Stored rows re-expressed as change events so the merge IS the LWW
+    reduce: lsn = stored _lsn, tombstone = delete. max-lsn-wins over
+    union(base, delta) == the MERGE's newest-writer-wins resolution."""
+    return base.select(
+        F.col(SYS_LSN).alias("lsn"),
+        F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "D")
+        .otherwise("I")
+        .alias("op"),
+        *PAYLOAD_COLS,
+    ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
+
+
+def _plan_cow(changes_bucketed: DataFrame, batch_id: int) -> list[dict[str, Any]]:
+    """COW planning job (Iceberg-MERGE find-touched-files analogue): one
+    column-pruned pass over ``(op, lsn, ts, conv_id)`` -> per-bucket raw
+    metrics + the affected-bucket set. The text payload never leaves the
+    scan."""
+    rows = (
+        changes_bucketed.groupBy(F.col(BUCKET_COL).alias("bucket"))
+        .agg(*_raw_metric_aggs())
+        .collect()
+    )
+    return [
+        {"batch_id": batch_id, "partition_id": r["bucket"], **r.asDict()}
+        for r in rows
+    ]
+
+
+def _layer_bucket_metrics(
+    spark: SparkSession, stage: str, batch_id: int
+) -> list[dict[str, Any]]:
+    """Per-bucket lineage from the just-written delta layer: an O(delta),
+    column-pruned read-back (``_lsn``, ``_deleted``, ``ts`` + the bucket
+    partition dir) — never touches the raw batch again."""
+    df = spark.read.parquet(stage)
+    rows = (
+        df.groupBy(F.col(BUCKET_COL).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("offsets_applied"),
+            F.sum((~F.col(SYS_DELETED)).cast("long")).alias("rows_upserted"),
+            F.sum(F.col(SYS_DELETED).cast("long")).alias("rows_deleted"),
+            F.min(SYS_LSN).alias("lsn_lo"),
+            F.max(SYS_LSN).alias("lsn_hi"),
+            F.max("ts").alias("watermark"),
+        )
+        .collect()
+    )
+    return [
+        {"batch_id": batch_id, "partition_id": r["bucket"], **r.asDict()}
+        for r in rows
+    ]
+
+
+def _written_dirs(stage: str) -> dict[int, str]:
+    return {
+        int(os.path.basename(p).split("=")[1]): p
+        for p in glob.glob(os.path.join(stage, f"{BUCKET_COL}=*"))
+    }
+
+
+def _reduce(changes_bucketed: DataFrame, n_buckets: int, plan: str,
+            salted: bool, n_salts: int, shuffle_salts: int = 4) -> DataFrame:
+    if salted:
+        red = lww_reduce_salted(changes_bucketed, n_salts).withColumn(
+            BUCKET_COL, bucket_expr("conv_id", n_buckets)
+        )
+        return red.repartition(n_buckets, F.col(BUCKET_COL))
+    if plan == "aligned":
+        return lww_reduce_aligned(changes_bucketed, BUCKET_COL, n_buckets,
+                                  shuffle_salts=shuffle_salts)
+    red = lww_reduce(changes_bucketed).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", n_buckets)
+    )
+    return red.repartition(n_buckets, F.col(BUCKET_COL))
+
+
+def merge_batch(
+    spark: SparkSession,
+    table: CowTable,
+    changes: DataFrame,
+    batch_id: int,
+    salted: bool = False,
+    n_salts: int = 8,
+    lineage_dir: str | None = None,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
+) -> dict[str, Any] | None:
+    """COW MERGE of one micro-batch as one commit.
+
+    Returns the committed snapshot dict, or None when batch_id was already
+    applied (exactly-once no-op).
+    """
+    if batch_id in table.committed_batch_ids():
+        return None
+    n_buckets = table.n_buckets
+    bucketed = _with_bucket(changes, n_buckets)
+
+    stats_rows = _plan_cow(bucketed, batch_id)
+    if not stats_rows:
+        table.commit(batch_id, {}, None, None, {"rows_upserted": 0, "rows_deleted": 0})
+        return table.current_snapshot()
+    affected = sorted({r["bucket"] for r in stats_rows if r["bucket"] is not None})
+    lsn_lo = min(r["lsn_lo"] for r in stats_rows)
+    lsn_hi = max(r["lsn_hi"] for r in stats_rows)
+
+    base = table.read_raw(spark, buckets=affected)
+    stage = table.new_data_dir()
+    if plan == "aligned" and not salted:
+        # single wide shuffle: union(base-as-events, delta) -> aligned LWW
+        # reduce -> bucket-partitioned write, no join, no re-shuffle
+        everything = _base_as_changes(base, n_buckets).unionByName(bucketed)
+        merged = _to_stored(lww_reduce_aligned(everything, BUCKET_COL, n_buckets,
+                                               shuffle_salts=shuffle_salts))
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    else:
+        delta = _reduce(bucketed, n_buckets, plan, salted, n_salts, shuffle_salts)
+        d = delta.select(
+            *KEY_COLS,
+            *[F.col(c).alias(f"_d_{c}") for c in PAYLOAD_COLS if c not in KEY_COLS],
+            F.col("lsn").alias("_d_lsn"),
+            (F.col("op") == "D").alias("_d_del"),
+        )
+        joined = base.join(d, on=KEY_COLS, how="full_outer")
+        delta_wins = F.col("_d_lsn").isNotNull() & (
+            F.col(SYS_LSN).isNull() | (F.col("_d_lsn") > F.col(SYS_LSN))
+        )
+        merged = joined.select(
+            *KEY_COLS,
+            *[
+                F.when(delta_wins, F.col(f"_d_{c}")).otherwise(F.col(c)).alias(c)
+                for c in PAYLOAD_COLS
+                if c not in KEY_COLS
+            ],
+            F.when(delta_wins, F.col("_d_lsn")).otherwise(F.col(SYS_LSN)).alias(SYS_LSN),
+            F.when(delta_wins, F.col("_d_del"))
+            .otherwise(F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+            .alias(SYS_DELETED),
+        ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
+        merged.repartition(max(len(affected), 1), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(stage)
+
+    rewritten = _written_dirs(stage)
+    # an affected bucket can produce zero live rows (all-tombstone merge
+    # output is still written); carry any silent bucket as an empty dir
+    for b in affected:
+        if b not in rewritten:
+            empty = os.path.join(stage, f"{BUCKET_COL}={b}")
+            os.makedirs(empty, exist_ok=True)
+            rewritten[b] = empty
+    snap = table.commit(
+        batch_id,
+        rewritten,
+        lsn_lo,
+        lsn_hi,
+        {
+            "rows_upserted": sum(r["rows_upserted"] for r in stats_rows),
+            "rows_deleted": sum(r["rows_deleted"] for r in stats_rows),
+            "buckets_rewritten": len(rewritten),
+        },
+    )
+    if snap is not None and lineage_dir is not None:
+        append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
+    return snap
+
+
 def mor_apply_batch(
     spark: SparkSession,
     table: CowTable,
@@ -146,54 +268,50 @@ def mor_apply_batch(
     salted: bool = False,
     n_salts: int = 8,
     lineage_dir: str | None = None,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
-    Iceberg-v2-MOR-style ingest: cost is O(delta) — one partial-agg shuffle
-    of the batch plus one bucket-partitioned write; the base table is never
-    read or rewritten. Readers resolve layers by max-_lsn (table.read_raw);
-    ``compact`` folds layers back into the base. This is the
-    write-optimized path for sustained high-rate tails; COW ``merge_batch``
-    is the read-optimized one.
+    Iceberg-v2-MOR-style ingest: cost is O(delta) and the base table is
+    never read or rewritten. The aligned default is ONE wide Spark job
+    (shuffle-once reduce feeding the bucket-partitioned write) with raw
+    metrics observed in-flight, plus one tiny read-back job on the written
+    layer for per-bucket lineage. Readers resolve layers by max-_lsn
+    (table.read_raw); ``compact`` folds layers back into the base.
     """
     if batch_id in table.committed_batch_ids():
         return None
     n_buckets = table.n_buckets
-    stats_rows = delta_partition_metrics(
-        changes.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets)), batch_id
-    )
-    if not stats_rows:
+    bucketed = _with_bucket(changes, n_buckets)
+
+    obs = Observation()
+    observed = bucketed.observe(obs, *_raw_metric_aggs())
+    delta = _reduce(observed, n_buckets, plan, salted, n_salts, shuffle_salts)
+    stage = table.new_data_dir()
+    _to_stored(delta).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    raw = obs.get
+
+    if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
                                   {"rows_upserted": 0, "rows_deleted": 0})
-    affected = sorted({r["bucket"] for r in stats_rows if r["bucket"] is not None})
-    lsn_lo = min(r["lsn_lo"] for r in stats_rows)
-    lsn_hi = max(r["lsn_hi"] for r in stats_rows)
-
-    delta = (lww_reduce_salted(changes, n_salts) if salted else lww_reduce(changes))
-    delta = delta.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
-    stage = table.new_data_dir()
-    (
-        _to_stored(delta)
-        .repartition(max(len(affected), 1), F.col(BUCKET_COL))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(stage)
-    )
-    appended = {
-        int(os.path.basename(p).split("=")[1]): p
-        for p in glob.glob(os.path.join(stage, f"{BUCKET_COL}=*"))
-    }
+    stats_rows = _layer_bucket_metrics(spark, stage, batch_id)
     snap = table.commit_delta(
-        batch_id, appended, lsn_lo, lsn_hi,
+        batch_id,
+        _written_dirs(stage),
+        raw["lsn_lo"],
+        raw["lsn_hi"],
         {
+            # table mutations actually appended (post-reduce), so the
+            # summary reconciles exactly with the per-bucket lineage rows;
+            # offsets_applied carries the raw change-event count
             "rows_upserted": sum(r["rows_upserted"] for r in stats_rows),
             "rows_deleted": sum(r["rows_deleted"] for r in stats_rows),
-            "buckets_appended": len(appended),
+            "offsets_applied": raw["offsets_applied"],
+            "buckets_appended": len(stats_rows),
         },
     )
     if snap is not None and lineage_dir is not None:
-        from .lineage import append_lineage
-
         append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
     return snap
 
@@ -216,11 +334,7 @@ def compact(spark: SparkSession, table: CowTable) -> dict[str, Any] | None:
         .partitionBy(BUCKET_COL)
         .parquet(stage)
     )
-    rewritten = {
-        int(os.path.basename(p).split("=")[1]): p
-        for p in glob.glob(os.path.join(stage, f"{BUCKET_COL}=*"))
-    }
-    # a bucket whose layers contained only... nothing is impossible here:
+    rewritten = _written_dirs(stage)
     # every bucket in delta_dirs has at least one row; still, carry any
     # bucket that produced no output file by mapping it to an empty new dir
     for b in buckets:

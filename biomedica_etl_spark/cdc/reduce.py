@@ -52,3 +52,38 @@ def lww_reduce_salted(changes: DataFrame, n_salts: int = 8) -> DataFrame:
     )
     partial = _winner(salted, [*KEY_COLS, "_salt"]).drop("_salt")
     return _winner(partial, KEY_COLS)
+
+
+def lww_reduce_aligned(
+    changes: DataFrame, bucket_col: str, n_buckets: int,
+    shuffle_salts: int = 4, num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-shuffle, bucket-aligned, salt-spread LWW reduce.
+
+    ``changes`` must already carry ``bucket_col`` (= bucket(conv_id)). The
+    plan is ``repartition(n, bucket, salt)`` -> ``groupBy(bucket, salt,
+    key)``: because every partitioning expression is one of the grouping
+    keys, Catalyst inserts NO second exchange — one wide shuffle total —
+    and the aggregate's output stays clustered by bucket, so the
+    ``partitionBy(bucket)`` write that follows emits at most
+    ``shuffle_salts`` files per bucket with no further movement.
+
+    The salt is the north rule's hot-conversation skew handling applied to
+    the merge shuffle itself: ``salt = pmod(xxhash64(turn_idx), k)`` is a
+    pure function of the key (so groups are never split — adding it to the
+    grouping keys is a no-op for correctness), but it spreads a
+    conversation that dominates one bucket across ``k`` reducers/writers
+    instead of bottlenecking one task. With zipf-skewed logs the hottest
+    bucket otherwise becomes a straggler that caps cluster scaling.
+    """
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(shuffle_salts))
+    salted = changes.withColumn("_salt", salt)
+    shuffled = salted.repartition(
+        num_partitions or n_buckets, F.col(bucket_col), F.col("_salt")
+    )
+    agg = shuffled.groupBy(bucket_col, "_salt", *KEY_COLS).agg(
+        F.max_by(F.struct(*_VALUE_COLS), F.col("lsn")).alias("_w")
+    )
+    return agg.select(
+        bucket_col, *KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in _VALUE_COLS]
+    )

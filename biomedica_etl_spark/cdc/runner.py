@@ -60,6 +60,8 @@ class CdcRunner:
         n_salts: int = 8,
         mode: str = "cow",
         compact_every: int = 8,
+        plan: str = "aligned",
+        shuffle_salts: int = 4,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -75,6 +77,8 @@ class CdcRunner:
         self.n_salts = n_salts
         self.mode = mode
         self.compact_every = compact_every
+        self.plan = plan
+        self.shuffle_salts = shuffle_salts
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
 
@@ -99,6 +103,8 @@ class CdcRunner:
                 salted=self.salted,
                 n_salts=self.n_salts,
                 lineage_dir=self.lineage_dir,
+                plan=self.plan,
+                shuffle_salts=self.shuffle_salts,
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table)
