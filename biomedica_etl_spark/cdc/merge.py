@@ -180,6 +180,7 @@ def merge_batch(
     lineage_dir: str | None = None,
     plan: str = "aligned",
     shuffle_salts: int = 4,
+    lineage_executor: Any = None,
 ) -> dict[str, Any] | None:
     """COW MERGE of one micro-batch as one commit.
 
@@ -256,7 +257,12 @@ def merge_batch(
         },
     )
     if snap is not None and lineage_dir is not None:
-        append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
+        if lineage_executor is not None:
+            lineage_executor.submit(
+                append_lineage, lineage_dir, stats_rows,
+                snapshot_id=snap["snapshot_id"])
+        else:
+            append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
     return snap
 
 
@@ -270,6 +276,7 @@ def mor_apply_batch(
     lineage_dir: str | None = None,
     plan: str = "aligned",
     shuffle_salts: int = 4,
+    lineage_executor: Any = None,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
@@ -295,45 +302,60 @@ def mor_apply_batch(
     if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
                                   {"rows_upserted": 0, "rows_deleted": 0})
-    stats_rows = _layer_bucket_metrics(spark, stage, batch_id)
+    written = _written_dirs(stage)
     snap = table.commit_delta(
         batch_id,
-        _written_dirs(stage),
+        written,
         raw["lsn_lo"],
         raw["lsn_hi"],
         {
-            # table mutations actually appended (post-reduce), so the
-            # summary reconciles exactly with the per-bucket lineage rows;
-            # offsets_applied carries the raw change-event count
-            "rows_upserted": sum(r["rows_upserted"] for r in stats_rows),
-            "rows_deleted": sum(r["rows_deleted"] for r in stats_rows),
+            # raw change-event counts from the in-flight observation; the
+            # per-bucket lineage rows carry the post-reduce mutation counts
+            "rows_upserted": raw["rows_upserted"],
+            "rows_deleted": raw["rows_deleted"],
             "offsets_applied": raw["offsets_applied"],
-            "buckets_appended": len(stats_rows),
+            "buckets_appended": len(written),
         },
     )
     if snap is not None and lineage_dir is not None:
-        append_lineage(lineage_dir, stats_rows, snapshot_id=snap["snapshot_id"])
+        def _emit(snapshot_id: int = snap["snapshot_id"]) -> None:
+            stats_rows = _layer_bucket_metrics(spark, stage, batch_id)
+            append_lineage(lineage_dir, stats_rows, snapshot_id=snapshot_id)
+
+        if lineage_executor is not None:
+            # lineage is DERIVED data (recomputable from the committed layer
+            # files), so its O(delta) read-back job may run off the critical
+            # path and overlap the next batch's wide job; the runner drains
+            # the executor before reporting completion
+            lineage_executor.submit(_emit)
+        else:
+            _emit()
     return snap
 
 
-def compact(spark: SparkSession, table: CowTable) -> dict[str, Any] | None:
+def compact(
+    spark: SparkSession, table: CowTable, shuffle_salts: int = 4
+) -> dict[str, Any] | None:
     """Fold all merge-on-read delta layers into the base (COW rewrite of
     buckets that have layers). Tombstones are retained — an out-of-order
-    batch with a lower lsn must still lose to a compacted delete."""
+    batch with a lower lsn must still lose to a compacted delete.
+
+    Same single-shuffle aligned plan as the merge: stored rows (base +
+    layers) are re-expressed as events and LWW-reduced straight into the
+    bucket-partitioned write — one wide shuffle, salt-spread so a hot
+    bucket compacts on ``shuffle_salts`` tasks instead of one."""
     snap = table.current_snapshot()
     if not snap or not snap.get("delta_dirs"):
         return None
     buckets = sorted(int(b) for b in snap["delta_dirs"])
-    resolved = table.read_raw(spark, buckets=buckets).withColumn(
-        BUCKET_COL, bucket_expr("conv_id", table.n_buckets)
+    stored = table.read_stored_files(spark, buckets=buckets)
+    as_events = _base_as_changes(stored, table.n_buckets)
+    resolved = _to_stored(
+        lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
+                           shuffle_salts=shuffle_salts)
     )
     stage = table.new_data_dir()
-    (
-        resolved.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(stage)
-    )
+    resolved.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
     rewritten = _written_dirs(stage)
     # every bucket in delta_dirs has at least one row; still, carry any
     # bucket that produced no output file by mapping it to an empty new dir

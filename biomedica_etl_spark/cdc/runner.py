@@ -62,6 +62,7 @@ class CdcRunner:
         compact_every: int = 8,
         plan: str = "aligned",
         shuffle_salts: int = 4,
+        async_lineage: bool = False,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -79,6 +80,11 @@ class CdcRunner:
         self.compact_every = compact_every
         self.plan = plan
         self.shuffle_salts = shuffle_salts
+        # lineage is derived data (recomputable from committed layer files),
+        # so its read-back/append may overlap the next batch's wide job;
+        # run() drains the executor before returning
+        self.async_lineage = async_lineage
+        self._lineage_pool = None
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
 
@@ -86,6 +92,12 @@ class CdcRunner:
         return pending_batches(self.spark, self.log_dir, self.table)
 
     def run(self, max_batches: int | None = None) -> RunResult:
+        if self.async_lineage and self._lineage_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._lineage_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lineage"
+            )
         schema_of = dict(planned_batches(self.log_dir))
         result = RunResult()
         for batch_id in self.pending():
@@ -105,6 +117,7 @@ class CdcRunner:
                 lineage_dir=self.lineage_dir,
                 plan=self.plan,
                 shuffle_salts=self.shuffle_salts,
+                lineage_executor=self._lineage_pool,
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table)
@@ -114,6 +127,9 @@ class CdcRunner:
                 result.batches_applied.append(batch_id)
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+        if self._lineage_pool is not None:
+            self._lineage_pool.shutdown(wait=True)
+            self._lineage_pool = None
         return result
 
     def final_state(self) -> DataFrame:

@@ -136,6 +136,20 @@ class CowTable:
             files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
         return files
 
+    def read_stored_files(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """UNRESOLVED stored rows: base files + all delta-layer files, which
+        may hold several versions of a key. Callers that fold versions
+        themselves (compaction) use this to keep the resolve inside their
+        own single-shuffle plan."""
+        snap = self.current_snapshot()
+        base_files = self._files_for(snap, buckets) if snap else []
+        delta_files = self._delta_files_for(snap, buckets) if snap else []
+        if not base_files and not delta_files:
+            return spark.createDataFrame([], stored_schema())
+        return spark.read.schema(stored_schema()).parquet(*base_files, *delta_files)
+
     def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         """Resolved stored rows (incl. tombstones + system cols).
 
@@ -145,11 +159,8 @@ class CowTable:
         shuffle, same reducer as ingest). Iceberg-v2-MOR semantics without
         the jar."""
         snap = self.current_snapshot()
-        base_files = self._files_for(snap, buckets) if snap else []
         delta_files = self._delta_files_for(snap, buckets) if snap else []
-        if not base_files and not delta_files:
-            return spark.createDataFrame([], stored_schema())
-        df = spark.read.schema(stored_schema()).parquet(*base_files, *delta_files)
+        df = self.read_stored_files(spark, buckets)
         if not delta_files:
             return df
         value_cols = [c for c in df.columns if c not in ("conv_id", "turn_idx")]

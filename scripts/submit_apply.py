@@ -1,0 +1,68 @@
+"""spark-submit entry point for the CDC apply loop.
+
+Cluster deployment path per the north rule: package the engine as a zip and
+ship it to every executor with ``--py-files``::
+
+    cd /root/repo && scripts/package.sh            # -> dist/biomedica_etl_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/biomedica_etl_spark.zip \\
+        scripts/submit_apply.py \\
+        --log-dir /path/to/change_log --table-root /path/to/table \\
+        --n-buckets 1024 --mode mor --compact-every 8
+
+On a real cluster ``--master yarn|k8s://...`` and executor sizing flags
+replace the local master; the job code is identical. The script creates no
+SparkSession config of its own beyond what the engine needs, so
+``spark-submit --conf`` controls the deployment entirely.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Apply a CDC change log to a table")
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--table-root", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    p.add_argument("--compact-every", type=int, default=8)
+    p.add_argument("--shuffle-salts", type=int, default=4)
+    p.add_argument("--max-batches", type=int, default=None)
+    args = p.parse_args()
+
+    # import AFTER spark-submit has added --py-files zips to sys.path
+    from pyspark.sql import SparkSession
+
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    spark = SparkSession.builder.appName("cdc-apply").getOrCreate()
+    runner = CdcRunner(
+        spark,
+        args.log_dir,
+        args.table_root,
+        n_buckets=args.n_buckets,
+        mode=args.mode,
+        compact_every=args.compact_every,
+        shuffle_salts=args.shuffle_salts,
+        async_lineage=True,
+    )
+    result = runner.run(max_batches=args.max_batches)
+    print(
+        json.dumps(
+            {
+                "batches_applied": result.batches_applied,
+                "batches_skipped": result.batches_skipped,
+                "rows_upserted": result.rows_upserted,
+                "rows_deleted": result.rows_deleted,
+                **runner.summary(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
