@@ -7,9 +7,10 @@ reduced delta per micro-batch — offsets applied, rows upserted/deleted,
 watermark (max event ts) — appended to a parquet metrics table so any
 failure can be diagnosed and reconciled (sum(rows) vs table delta).
 
-Computed with a single ``groupBy(spark_partition_id())`` aggregate — no
-collect of data rows, only the tiny per-partition summary comes back to the
-driver (bounded by shuffle partition count, not data size).
+Per-bucket rows are produced by merge.py (``_plan_cow`` for the COW
+planning pass, ``_layer_bucket_metrics`` for the MOR read-back); only the
+tiny per-bucket summary ever reaches the driver (bounded by bucket count,
+not data size). This module owns the append-only parquet sink.
 """
 
 from __future__ import annotations
@@ -20,40 +21,11 @@ from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-from .table import BUCKET_COL
 
 LINEAGE_COLS = [
     "batch_id", "snapshot_id", "partition_id", "bucket", "offsets_applied",
     "rows_upserted", "rows_deleted", "lsn_lo", "lsn_hi", "watermark",
 ]
-
-
-def delta_partition_metrics(changes_bucketed: DataFrame, batch_id: int) -> list[dict[str, Any]]:
-    """One metrics row per (spark partition, bucket) of the incoming batch.
-
-    Runs on the RAW change events (pre-reduce): the aggregation emits one
-    tiny row per (input partition, bucket), so the shuffle is a few hundred
-    rows regardless of batch size and the wide text column never leaves the
-    scan — a separate cheap pass instead of persisting the reduced delta.
-    """
-    agg = (
-        changes_bucketed.groupBy(
-            F.spark_partition_id().alias("partition_id"), F.col(BUCKET_COL).alias("bucket")
-        )
-        .agg(
-            F.count("*").alias("offsets_applied"),
-            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-            F.min("lsn").alias("lsn_lo"),
-            F.max("lsn").alias("lsn_hi"),
-            F.max("ts").alias("watermark"),
-        )
-        .collect()
-    )
-    return [{"batch_id": batch_id, **r.asDict()} for r in agg]
 
 
 def append_lineage(lineage_dir: str, rows: list[dict[str, Any]], snapshot_id: int) -> None:

@@ -431,6 +431,73 @@ LIMIT 10
 """
 
 
+def enrich_left_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — enrichment left join with pass-through of unmatched rows.
+
+    Reference: the Entrez enrichment looks up each record's pmid and leaves
+    records without a match untouched (``scripts/05_json_to_entrez.py:
+    303-330``). Here: events enriched with the customer dimension; events
+    whose user has no customer row pass through with a coalesced default.
+    The dim side is broadcast, so the fact side never shuffles — at 100 TB
+    the fact scan streams straight through map tasks.
+    """
+    e = tbl(spark, sf_dir, "events")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            F.coalesce("c_acctbal", F.lit(0.0)).alias("acctbal"),
+            (F.col("c_custkey").isNotNull()).alias("matched"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ENRICH_LEFT_SQL = """
+SELECT event_id, user_id,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       COALESCE(c_acctbal, 0.0) AS acctbal,
+       (c_custkey IS NOT NULL) AS matched
+FROM events LEFT JOIN customer ON user_id = c_custkey
+ORDER BY event_id
+"""
+
+
+def flatten_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + F17 — flatten nullable fields into one string (reference
+    ``ensure_title``/``concat_abstract``, ``src/pmc_oa/build_json.py:
+    509-598``) and a when-chain categorical mapping (``get_license_path_name``,
+    ``src/pmc_oa/utils/path_util.py:5-10``). Pure JVM expressions inside
+    WholeStageCodegen — the reference does this row-at-a-time in Python.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", seg).alias("profile"),
+        F.when(seg == "BUILDING", "bld")
+        .when(seg == "AUTOMOBILE", "auto")
+        .when(seg == "MACHINERY", "mach")
+        .otherwise("other")
+        .alias("seg_short"),
+        F.length(F.concat_ws(" ", "c_name", seg)).alias("profile_len"),
+    ).orderBy("c_custkey")
+
+
+FLATTEN_PROFILE_SQL = """
+SELECT c_custkey,
+       concat_ws(' ', c_name, c_mktsegment) AS profile,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 'bld' WHEN 'AUTOMOBILE' THEN 'auto'
+            WHEN 'MACHINERY' THEN 'mach' ELSE 'other' END AS seg_short,
+       length(concat_ws(' ', c_name, c_mktsegment)) AS profile_len
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lww_latest_event_per_user": (lww_latest_event_per_user, LWW_LATEST_SQL),
     "lww_via_window": (lww_via_window, LWW_LATEST_SQL),
@@ -449,4 +516,6 @@ QUERIES: dict[str, tuple] = {
     "tumbling_window_counts": (tumbling_window_counts, TUMBLING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
+    "enrich_left_coalesce": (enrich_left_coalesce, ENRICH_LEFT_SQL),
+    "flatten_profile": (flatten_profile, FLATTEN_PROFILE_SQL),
 }
