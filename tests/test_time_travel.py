@@ -1,0 +1,43 @@
+"""Snapshot time travel: reading any retained snapshot id reproduces the
+table state exactly as it was at that commit (manifests are self-contained
+and data files are immutable, so history is free until a GC exists)."""
+
+from __future__ import annotations
+
+import pytest
+
+from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+from biomedica_etl_spark.cdc.runner import CdcRunner
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_at_snapshot_reproduces_history(spark, tmp_path, mode):
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode=mode)
+
+    runner.run(max_batches=1)
+    snap1 = runner.table.current_snapshot()["snapshot_id"]
+    state1 = [r.asDict() for r in runner.final_state().collect()]
+
+    runner.run()  # apply the rest
+    assert runner.table.current_snapshot()["snapshot_id"] > snap1
+    now = [r.asDict() for r in runner.final_state().collect()]
+    assert now != state1, "later batches must have changed the table"
+
+    back = [
+        r.asDict()
+        for r in runner.table.read(spark, snapshot_id=snap1)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+    assert back == state1
+
+
+def test_unknown_snapshot_raises(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["insert_only"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=4)
+    runner.run(max_batches=1)
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        runner.table.read(spark, snapshot_id=9999)
