@@ -271,6 +271,42 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Iceberg-style snapshot expiration: drop all but the newest
+        ``keep_last`` manifests, then delete data dirs no retained snapshot
+        references. Time travel keeps working for retained snapshots;
+        immutable files mean expiration never touches live data. Assumes
+        the single-writer discipline the commit protocol already requires
+        (no in-flight staging dir while maintenance runs)."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "dirs_removed": 0}
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        live: set[str] = set()
+        for snap in retained:
+            for d in self._dirs_for(snap, "bucket_dirs", None):
+                live.add(os.path.normpath(d))
+            for d in self._dirs_for(snap, "delta_dirs", None):
+                live.add(os.path.normpath(d))
+        removed_dirs = 0
+        for entry in os.listdir(self.data_dir):
+            rel = os.path.normpath(os.path.join("data", entry))
+            full = os.path.join(self.data_dir, entry)
+            # a data dir is live if any retained snapshot references it or
+            # a bucket subdir of it
+            if any(ref == rel or ref.startswith(rel + os.sep) for ref in live):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed_dirs += 1
+        for snap in expired:
+            try:
+                os.remove(self._snap_path(snap["snapshot_id"]))
+            except FileNotFoundError:
+                pass
+        return {"snapshots_removed": len(expired), "dirs_removed": removed_dirs}
+
     def max_delta_layers(self) -> int:
         snap = self.current_snapshot()
         if not snap:

@@ -1,0 +1,59 @@
+"""Snapshot expiration: old manifests + unreferenced data dirs are removed,
+retained history still time-travels, and the live table is untouched."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+from biomedica_etl_spark.cdc.oracle import replay
+from biomedica_etl_spark.cdc.runner import CdcRunner
+
+
+def test_expire_keeps_live_state_and_retained_history(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="cow")
+    runner.run()
+    table = runner.table
+    n_snaps = len(table.snapshots())
+    assert n_snaps >= 4
+    dirs_before = len(os.listdir(table.data_dir))
+
+    keep = 2
+    kept_id = table.snapshots()[-keep]["snapshot_id"]
+    kept_state = [
+        r.asDict()
+        for r in table.read(spark, snapshot_id=kept_id)
+        .orderBy("conv_id", "turn_idx").collect()
+    ]
+    stats = table.expire_snapshots(keep_last=keep)
+    assert stats["snapshots_removed"] == n_snaps - keep
+    assert stats["dirs_removed"] > 0
+    assert len(os.listdir(table.data_dir)) < dirs_before
+
+    # live state still equals the oracle
+    live = [r.asDict() for r in runner.final_state().collect()]
+    assert live == replay(log)
+    # retained history still time-travels bit-for-bit
+    back = [
+        r.asDict()
+        for r in table.read(spark, snapshot_id=kept_id)
+        .orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert back == kept_state
+    # expired history is gone
+    oldest = kept_id - 1
+    with pytest.raises(ValueError):
+        table.read(spark, snapshot_id=oldest)
+
+
+def test_expire_noop_when_few_snapshots(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["insert_only"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=4)
+    runner.run(max_batches=1)
+    stats = runner.table.expire_snapshots(keep_last=10)
+    assert stats == {"snapshots_removed": 0, "dirs_removed": 0}
