@@ -271,6 +271,27 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    def read_conversation(
+        self, spark: SparkSession, conv_id: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """The flagship point query: one conversation's live turns in stable
+        order. Hidden-partition pruning happens driver-side from the
+        manifest — only bucket(conv_id)'s files are ever listed or scanned
+        (at 100 TB with 4096 buckets that is 1/4096th of the table), and
+        the conv_id filter pushes down into that scan."""
+        import pyspark.sql.functions as _F
+
+        n = self.n_buckets
+        # same function as bucket_expr, computed driver-side for pruning
+        bucket = spark.range(1).select(
+            _F.pmod(_F.xxhash64(_F.lit(conv_id)), _F.lit(n)).cast("int")
+        ).first()[0]
+        return (
+            self.read(spark, buckets=[int(bucket)], snapshot_id=snapshot_id)
+            .filter(_F.col("conv_id") == conv_id)
+            .orderBy("turn_idx")
+        )
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` manifests, then delete data dirs no retained snapshot

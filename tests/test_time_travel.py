@@ -41,3 +41,26 @@ def test_unknown_snapshot_raises(spark, tmp_path):
     runner.run(max_batches=1)
     with pytest.raises(ValueError, match="unknown snapshot_id"):
         runner.table.read(spark, snapshot_id=9999)
+
+
+def test_read_conversation_prunes_to_one_bucket(spark, tmp_path):
+    """Point lookup lists only bucket(conv_id)'s files and returns the
+    conversation's turns in stable order, equal to the oracle's rows."""
+    from biomedica_etl_spark.cdc.oracle import replay
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8)
+    runner.run()
+    expected = replay(log)
+    conv = expected[len(expected) // 2]["conv_id"]
+    got = [r.asDict() for r in runner.table.read_conversation(spark, conv).collect()]
+    want = [r for r in expected if r["conv_id"] == conv]
+    assert got == want
+    # structural pruning: the scan's input files all come from one bucket dir
+    from pyspark.sql import functions as F
+
+    df = runner.table.read_conversation(spark, conv)
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    buckets_touched = {f.split("_bucket=")[1].split("/")[0] for f in files if "_bucket=" in f}
+    assert len(buckets_touched) <= 1
