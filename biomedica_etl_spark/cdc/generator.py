@@ -55,6 +55,9 @@ class GeneratorConfig:
     out_of_order: bool = False
     # tail of batch k replayed inside batch k+1 (same lsns)
     overlap_batches: bool = False
+    # fraction of events corrupted in-flight (bad op code / negative
+    # turn_idx) — must be quarantined, never applied and never fatal
+    corrupt_frac: float = 0.0
     # fractions of the batch axis where schema epochs 0/1/2 begin
     schema_epoch_starts: tuple[float, ...] = (0.0, 0.4, 0.7)
     avg_text_len: int = 120
@@ -132,6 +135,12 @@ def generate_change_log(out_dir: str, cfg: GeneratorConfig) -> GeneratedLog:
     order = np.argsort(key, kind="stable")
     op, conv, turn = op[order], conv[order], turn[order]
     n = len(op)
+    if cfg.corrupt_frac > 0:
+        m = rng.choice(n, size=int(n * cfg.corrupt_frac), replace=False)
+        half = len(m) // 2
+        op = op.copy(); turn = turn.copy()
+        op[m[:half]] = 3                      # unknown op code 'X'
+        turn[m[half:]] = -turn[m[half:]] - 1  # impossible turn index
     lsn = np.arange(n, dtype="int64")
     batch_id = lsn // cfg.batch_size
 
@@ -230,7 +239,7 @@ def generate_change_log(out_dir: str, cfg: GeneratorConfig) -> GeneratedLog:
         b_role = pc.if_else(del_mask, null_str, pa.array(ROLES[role_idx[src]]))
         arrays: dict[str, pa.Array] = {
             "lsn": pa.array(lsn[src], pa.int64()),
-            "op": pa.array(np.take(np.array(["I", "U", "D"]), op[src])),
+            "op": pa.array(np.take(np.array(["I", "U", "D", "X"]), op[src])),
             "conv_id": pc.binary_join_element_wise("conv-", conv_str, ""),
             "turn_idx": pa.array(b_turn, pa.int64() if epoch >= 2 else pa.int32()),
             "role": b_role,
@@ -279,6 +288,7 @@ SCENARIOS: dict[str, GeneratorConfig] = {
                                         schema_epoch_starts=(0.0, 0.3, 0.6)),
     "replay_overlap": GeneratorConfig(n_events=20_000, batch_size=5_000, overlap_batches=True),
     "skew_hot": GeneratorConfig(n_events=40_000, batch_size=10_000, zipf_a=1.4, n_convs=200),
+    "corrupt": GeneratorConfig(n_events=20_000, batch_size=5_000, corrupt_frac=0.05),
     "everything": GeneratorConfig(n_events=50_000, batch_size=5_000, duplicate_frac=0.03,
                                   out_of_order=True, absent_key_frac=0.05,
                                   overlap_batches=True, zipf_a=1.2),

@@ -65,15 +65,44 @@ from .reduce import lww_reduce, lww_reduce_aligned, lww_reduce_salted
 from .schema import CHANGE_COLS, KEY_COLS, PAYLOAD_COLS, SYS_DELETED, SYS_LSN
 from .table import BUCKET_COL, CowTable, bucket_expr
 
+def _valid_pred():
+    """Event validity: the pre-merge gate (reference quality gate P8 /
+    null-key guard P5). Invalid events are quarantined, never applied and
+    never fatal — the reference's error-row-log discipline
+    (``src/pmc_oa/download_batch.py:123-139``)."""
+    return (
+        F.col("op").isin("I", "U", "D")
+        & (F.col("turn_idx") >= 0)
+        & F.col("conv_id").isNotNull()
+        & F.col("lsn").isNotNull()
+    )
+
+
 def _raw_metric_aggs() -> list:
+    v = _valid_pred()
     return [
         F.count(F.lit(1)).alias("offsets_applied"),
-        F.sum((F.col("op") != "D").cast("long")).alias("rows_upserted"),
-        F.sum((F.col("op") == "D").cast("long")).alias("rows_deleted"),
+        F.sum((v & (F.col("op") != "D")).cast("long")).alias("rows_upserted"),
+        F.sum((v & (F.col("op") == "D")).cast("long")).alias("rows_deleted"),
+        F.sum((~v).cast("long")).alias("rows_quarantined"),
         F.min("lsn").alias("lsn_lo"),
         F.max("lsn").alias("lsn_hi"),
         F.max("ts").alias("watermark"),
     ]
+
+
+def _write_quarantine(
+    changes_bucketed: DataFrame, quarantine_dir: str, batch_id: int
+) -> None:
+    """O(invalid) side output, executed only when the in-flight metrics
+    saw at least one invalid event — the common clean batch pays nothing."""
+    out = os.path.join(quarantine_dir, f"batch_id={batch_id}")
+    (
+        changes_bucketed.filter(~_valid_pred())
+        .drop(BUCKET_COL)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
 
 
 def _with_bucket(changes: DataFrame, n_buckets: int) -> DataFrame:
@@ -181,6 +210,7 @@ def merge_batch(
     plan: str = "aligned",
     shuffle_salts: int = 4,
     lineage_executor: Any = None,
+    quarantine_dir: str | None = None,
 ) -> dict[str, Any] | None:
     """COW MERGE of one micro-batch as one commit.
 
@@ -193,12 +223,27 @@ def merge_batch(
     bucketed = _with_bucket(changes, n_buckets)
 
     stats_rows = _plan_cow(bucketed, batch_id)
-    if not stats_rows:
-        table.commit(batch_id, {}, None, None, {"rows_upserted": 0, "rows_deleted": 0})
+    quarantined = sum(r["rows_quarantined"] for r in stats_rows)
+    if quarantined and quarantine_dir is not None:
+        _write_quarantine(bucketed, quarantine_dir, batch_id)
+    # a bucket is affected only if it has VALID mutations; quarantined-only
+    # buckets are never read or rewritten
+    affected = sorted({
+        r["bucket"] for r in stats_rows
+        if r["bucket"] is not None and (r["rows_upserted"] + r["rows_deleted"]) > 0
+    })
+    if not affected:
+        # still commit: the checkpoint must record the consumed offset range
+        # (possibly all-quarantined) so the batch never replays
+        lo = min((r["lsn_lo"] for r in stats_rows), default=None)
+        hi = max((r["lsn_hi"] for r in stats_rows), default=None)
+        table.commit(batch_id, {}, lo, hi,
+                     {"rows_upserted": 0, "rows_deleted": 0,
+                      "rows_quarantined": quarantined})
         return table.current_snapshot()
-    affected = sorted({r["bucket"] for r in stats_rows if r["bucket"] is not None})
     lsn_lo = min(r["lsn_lo"] for r in stats_rows)
     lsn_hi = max(r["lsn_hi"] for r in stats_rows)
+    bucketed = bucketed.filter(_valid_pred())
 
     base = table.read_raw(spark, buckets=affected)
     stage = table.new_data_dir()
@@ -253,6 +298,7 @@ def merge_batch(
         {
             "rows_upserted": sum(r["rows_upserted"] for r in stats_rows),
             "rows_deleted": sum(r["rows_deleted"] for r in stats_rows),
+            "rows_quarantined": quarantined,
             "buckets_rewritten": len(rewritten),
         },
     )
@@ -277,6 +323,7 @@ def mor_apply_batch(
     plan: str = "aligned",
     shuffle_salts: int = 4,
     lineage_executor: Any = None,
+    quarantine_dir: str | None = None,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
@@ -293,8 +340,11 @@ def mor_apply_batch(
     bucketed = _with_bucket(changes, n_buckets)
 
     obs = Observation()
+    # metrics observe the RAW stream (so quarantined events are counted and
+    # the consumed lsn range is complete); the merge consumes valid rows only
     observed = bucketed.observe(obs, *_raw_metric_aggs())
-    delta = _reduce(observed, n_buckets, plan, salted, n_salts, shuffle_salts)
+    delta = _reduce(observed.filter(_valid_pred()), n_buckets, plan, salted,
+                    n_salts, shuffle_salts)
     stage = table.new_data_dir()
     _to_stored(delta).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
     raw = obs.get
@@ -302,6 +352,8 @@ def mor_apply_batch(
     if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
                                   {"rows_upserted": 0, "rows_deleted": 0})
+    if raw["rows_quarantined"] and quarantine_dir is not None:
+        _write_quarantine(bucketed, quarantine_dir, batch_id)
     written = _written_dirs(stage)
     snap = table.commit_delta(
         batch_id,
@@ -313,6 +365,7 @@ def mor_apply_batch(
             # per-bucket lineage rows carry the post-reduce mutation counts
             "rows_upserted": raw["rows_upserted"],
             "rows_deleted": raw["rows_deleted"],
+            "rows_quarantined": raw["rows_quarantined"],
             "offsets_applied": raw["offsets_applied"],
             "buckets_appended": len(written),
         },

@@ -13,7 +13,11 @@ Semantics (shared with merge.py and encoded in tests):
 - ``I`` and ``U`` are both full-row upserts (U-of-absent-key inserts —
   reference analogue: tolerant left join, ``scripts/05_json_to_entrez.py:329-330``);
 - ``D`` removes the key (D-of-absent-key is a no-op);
-- epoch-0/1 events lack ``tool`` -> NULL; ``turn_idx`` compares as int64.
+- epoch-0/1 events lack ``tool`` -> NULL; ``turn_idx`` compares as int64;
+- corrupt events (unknown op, negative turn_idx, null key) are quarantined:
+  skipped here, routed to the engine's ``_quarantine`` sink there
+  (reference analogue: error-row logs instead of batch abort,
+  ``src/pmc_oa/download_batch.py:123-139``).
 """
 
 from __future__ import annotations
@@ -51,6 +55,9 @@ def replay(log_dir: str, max_batch_id: int | None = None) -> list[dict[str, Any]
 
     state: dict[tuple[str, int], dict[str, Any]] = {}
     for e in events:
+        if (e["op"] not in ("I", "U", "D") or e["turn_idx"] < 0
+                or e["conv_id"] is None or e["lsn"] is None):
+            continue  # quarantined
         key = (e["conv_id"], e["turn_idx"])
         if e["op"] == "D":
             state.pop(key, None)

@@ -87,6 +87,7 @@ class CdcRunner:
         self._lineage_pool = None
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
+        self.quarantine_dir = os.path.join(table_root, "_quarantine")
 
     def pending(self) -> list[int]:
         return pending_batches(self.spark, self.log_dir, self.table)
@@ -118,6 +119,7 @@ class CdcRunner:
                 plan=self.plan,
                 shuffle_salts=self.shuffle_salts,
                 lineage_executor=self._lineage_pool,
+                quarantine_dir=self.quarantine_dir,
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table)

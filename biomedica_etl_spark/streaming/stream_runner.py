@@ -84,6 +84,7 @@ def stream_apply(
             batch_df,
             batch_id=STREAM_BATCH_BASE + epoch_id,
             lineage_dir=os.path.join(table_root, "_lineage"),
+            quarantine_dir=os.path.join(table_root, "_quarantine"),
         )
         if mode == "mor" and table.max_delta_layers() >= compact_every:
             compact(spark, table)
