@@ -91,6 +91,60 @@ FROM documents ORDER BY doc_id
 """
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_hash string"
+_FRAME_SIZE = 64  # stub "frame" = fixed-size slice of the payload
+_SAMPLE_EVERY = 4
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with 1->N fan-out: every 4th fixed-size slice of
+    the payload becomes a sampled "frame" row (video frame-sampling shape;
+    swap the slicing for a real demuxer when ffmpeg exists — the Arrow
+    plumbing, 1->N batch shape, and schema stay as-is). The fan-out happens
+    inside the Arrow batch — no explode shuffle, and payload bytes never
+    leave the executor; only frame metadata comes out."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                "frame_offset": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME_SIZE
+            for i in range(0, n_frames, _SAMPLE_EVERY):
+                off = i * _FRAME_SIZE
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_hash"].append(
+                    hashlib.md5(
+                        payload[off:off + _FRAME_SIZE].encode("utf-8")
+                    ).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> sampled frame rows (deterministic stub demux)."""
+    d = tbl(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").alias("payload"))
+    return payloads.mapInPandas(sample_frames_batch, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH p AS (SELECT doc_id, text AS payload FROM documents),
+f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         CAST(i * {_FRAME_SIZE} AS BIGINT) AS frame_offset,
+         md5(substring(payload, CAST(i * {_FRAME_SIZE} + 1 AS INTEGER), {_FRAME_SIZE})) AS frame_hash
+  FROM p, UNNEST(range(0, length(payload) // {_FRAME_SIZE}, {_SAMPLE_EVERY})) AS t(i)
+)
+SELECT * FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
 }
