@@ -177,7 +177,7 @@ def main() -> None:
     spark.stop()
 
 
-SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "16000000"))
+SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "32000000"))
 SCALING_BATCHES = int(os.environ.get("SPARK_GRAFT_SCALING_BATCHES", "2"))
 SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
 WARMUP_EVENTS = 200_000
