@@ -45,10 +45,14 @@ Scale notes:
 - Only buckets touched by the delta are read and rewritten (file pruning
   via the snapshot manifest). 100 TB table + 1 GB delta => the merge reads
   |affected buckets|, not the table.
-- Hot conversations: map-side partial aggregation pre-combines duplicate
-  keys per input partition before the wire in the classic plan; the
-  explicit two-phase salted reducer (``salted=True``) spreads a hot key
-  over ``n_salts`` reducers and is proven equal in tests.
+- Skew decision rule: the aligned plan's ``salt(turn_idx)`` spreads a hot
+  CONVERSATION (many distinct turns in one bucket) across k reducer/writer
+  tasks, but — because repartition-first forgoes map-side partial
+  aggregation — a hot KEY (one turn updated millions of times in a batch)
+  still lands on one reducer. For update-storm workloads set
+  ``salted=True``: the two-phase reducer pre-combines per ``(key,
+  salt(lsn))`` before the key shuffle (classic groupBy-first gets map-side
+  combine for free and is also kept). All three are proven equal in tests.
 """
 
 from __future__ import annotations
