@@ -147,8 +147,95 @@ ORDER BY a.bucket, d1, d2
 """
 
 
+_N_CELLS = 16
+
+
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest of 16 centroid cells,
+    then exact top-3 cosine WITHIN the query's cell only.
+
+    Centroids are deterministic (the vectors with vec_id < 16) so the
+    whole operator stays DuckDB-oracle-checkable; a production build swaps
+    in trained KMeans centroids and nothing else changes. The plan is the
+    IVF scale shape: the centroid table broadcasts (assignment is
+    map-side, no shuffle of the corpus), vectors then join candidates
+    key-equi on cell_id — shuffle linear in rows, per-cell pair count
+    bounded by the cell size, AQE splits hot cells.
+    """
+    from pyspark.sql import Window
+
+    e = _vecs(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cell_id",
+        F.round(F.expr(_DOT.format(a="v", b="cv")) / (F.col("norm") * F.col("cnorm")), 6)
+        .alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select("vec_id", "v", "norm", "cell_id")
+    )
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), "cell_id",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"), "cell_id",
+    )
+    pairs = q.join(cand, ["cell_id"]).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nnorm")), 6
+    ).alias("cosine")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("cell_id", "query_id", F.col("neighbor_id"), cos)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter("rank <= 3")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+cents AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM n WHERE vec_id < {_N_CELLS}),
+scored AS (
+  SELECT n.vec_id, n.v, n.norm, cents.cell_id,
+         round(list_dot_product(n.v, cents.cv) / (n.norm * cents.cnorm), 6) AS ccos
+  FROM n CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, norm, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell_id
+      FROM assigned WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT a.cell_id, q.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, a.v) / (q.qnorm * a.norm), 6) AS cosine
+  FROM q JOIN assigned a ON q.cell_id = a.cell_id AND a.vec_id <> q.query_id
+)
+SELECT cell_id, query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_near_dup": (embedding_near_dup, NEAR_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_coarse": (ann_ivf_coarse, ANN_IVF_SQL),
 }
