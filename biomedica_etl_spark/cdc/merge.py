@@ -73,13 +73,20 @@ def _valid_pred():
     """Event validity: the pre-merge gate (reference quality gate P8 /
     null-key guard P5). Invalid events are quarantined, never applied and
     never fatal — the reference's error-row-log discipline
-    (``src/pmc_oa/download_batch.py:123-139``)."""
-    return (
+    (``src/pmc_oa/download_batch.py:123-139``).
+
+    Null-SAFE by construction: a null ``op`` or ``turn_idx`` makes the
+    raw conjunction NULL, and a NULL predicate is dropped by ``filter(p)``
+    AND by ``filter(~p)`` — silently losing the row from both the apply
+    and the quarantine. ``coalesce(pred, false)`` routes every malformed
+    row to quarantine instead."""
+    pred = (
         F.col("op").isin("I", "U", "D")
         & (F.col("turn_idx") >= 0)
         & F.col("conv_id").isNotNull()
         & F.col("lsn").isNotNull()
     )
+    return F.coalesce(pred, F.lit(False))
 
 
 def _raw_metric_aggs() -> list:
@@ -161,7 +168,19 @@ def _layer_bucket_metrics(
     """Per-bucket lineage from the just-written delta layer: an O(delta),
     column-pruned read-back (``_lsn``, ``_deleted``, ``ts`` + the bucket
     partition dir) — never touches the raw batch again."""
-    df = spark.read.parquet(stage)
+    from pyspark.sql import types as T
+
+    from .table import stored_schema
+
+    # explicit schema: a layer dir holding only _SUCCESS (all rows of the
+    # batch quarantined) must read as zero rows, not raise
+    # 'Unable to infer schema' — lineage is derived data and must never
+    # fail ingest
+    schema = T.StructType(
+        list(stored_schema().fields)
+        + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+    )
+    df = spark.read.schema(schema).parquet(stage)
     rows = (
         df.groupBy(F.col(BUCKET_COL).alias("bucket"))
         .agg(
@@ -221,7 +240,7 @@ def merge_batch(
     Returns the committed snapshot dict, or None when batch_id was already
     applied (exactly-once no-op).
     """
-    if batch_id in table.committed_batch_ids():
+    if table.is_committed(batch_id):
         return None
     n_buckets = table.n_buckets
     bucketed = _with_bucket(changes, n_buckets)
@@ -239,14 +258,18 @@ def merge_batch(
     if not affected:
         # still commit: the checkpoint must record the consumed offset range
         # (possibly all-quarantined) so the batch never replays
-        lo = min((r["lsn_lo"] for r in stats_rows), default=None)
-        hi = max((r["lsn_hi"] for r in stats_rows), default=None)
+        lo = min((r["lsn_lo"] for r in stats_rows if r["lsn_lo"] is not None),
+                 default=None)
+        hi = max((r["lsn_hi"] for r in stats_rows if r["lsn_hi"] is not None),
+                 default=None)
         table.commit(batch_id, {}, lo, hi,
                      {"rows_upserted": 0, "rows_deleted": 0,
                       "rows_quarantined": quarantined})
         return table.current_snapshot()
-    lsn_lo = min(r["lsn_lo"] for r in stats_rows)
-    lsn_hi = max(r["lsn_hi"] for r in stats_rows)
+    # a bucket whose events all carry null lsn aggregates F.min to None —
+    # keep the bounds computable when such buckets mix with valid ones
+    lsn_lo = min(r["lsn_lo"] for r in stats_rows if r["lsn_lo"] is not None)
+    lsn_hi = max(r["lsn_hi"] for r in stats_rows if r["lsn_hi"] is not None)
     bucketed = bucketed.filter(_valid_pred())
 
     base = table.read_raw(spark, buckets=affected)
@@ -338,7 +361,7 @@ def mor_apply_batch(
     layer for per-bucket lineage. Readers resolve layers by max-_lsn
     (table.read_raw); ``compact`` folds layers back into the base.
     """
-    if batch_id in table.committed_batch_ids():
+    if table.is_committed(batch_id):
         return None
     n_buckets = table.n_buckets
     bucketed = _with_bucket(changes, n_buckets)
@@ -351,7 +374,15 @@ def mor_apply_batch(
                     n_salts, shuffle_salts)
     stage = table.new_data_dir()
     _to_stored(delta).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
-    raw = obs.get
+    try:
+        raw = obs.get
+    except Exception:  # noqa: BLE001
+        # AQE's empty-relation re-plan can drop the CollectMetrics row when
+        # the filter downstream of observe() leaves zero rows (every event
+        # quarantined) — Observation.get then fails deserializing a
+        # schema-less row. Recompute the raw metrics with one O(batch)
+        # aggregation job; this path only runs on such degenerate batches.
+        raw = bucketed.agg(*_raw_metric_aggs()).collect()[0].asDict()
 
     if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
@@ -374,7 +405,10 @@ def mor_apply_batch(
             "buckets_appended": len(written),
         },
     )
-    if snap is not None and lineage_dir is not None:
+    # written == {} means every offset was consumed but zero valid rows
+    # survived (all quarantined): the commit above records the offset range,
+    # and there is no layer to derive lineage from
+    if snap is not None and lineage_dir is not None and written:
         def _emit(snapshot_id: int = snap["snapshot_id"]) -> None:
             stats_rows = _layer_bucket_metrics(spark, stage, batch_id)
             append_lineage(lineage_dir, stats_rows, snapshot_id=snapshot_id)

@@ -32,6 +32,30 @@ from .schema import SchemaRegistry, align_to_target
 from .table import CowTable
 
 
+class _TrackedPool:
+    """ThreadPoolExecutor wrapper that keeps every submitted future.
+
+    ``ThreadPoolExecutor.shutdown(wait=True)`` does NOT re-raise task
+    exceptions — an async lineage emit that crashed would be silently
+    swallowed and its rows lost with no signal. The drain calls
+    ``result()`` on each future so any failure surfaces to the caller."""
+
+    def __init__(self, pool: Any) -> None:
+        self.pool = pool
+        self.futures: list[Any] = []
+
+    def submit(self, fn: Any, *args: Any, **kwargs: Any) -> Any:
+        fut = self.pool.submit(fn, *args, **kwargs)
+        self.futures.append(fut)
+        return fut
+
+    def drain(self) -> None:
+        self.pool.shutdown(wait=True)
+        for fut in self.futures:
+            fut.result()  # re-raises the first task exception
+        self.futures.clear()
+
+
 def read_batch(
     spark: SparkSession, log_dir: str, batch_id: int, schema_id: int,
     registry: SchemaRegistry,
@@ -96,9 +120,9 @@ class CdcRunner:
         if self.async_lineage and self._lineage_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            self._lineage_pool = ThreadPoolExecutor(
+            self._lineage_pool = _TrackedPool(ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="lineage"
-            )
+            ))
         schema_of = dict(planned_batches(self.log_dir))
         result = RunResult()
         for batch_id in self.pending():
@@ -130,7 +154,7 @@ class CdcRunner:
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
         if self._lineage_pool is not None:
-            self._lineage_pool.shutdown(wait=True)
+            self._lineage_pool.drain()
             self._lineage_pool = None
         return result
 

@@ -23,6 +23,16 @@ manifest reference only — a merge that touches 3 of 1024 buckets rewrites
 buckets from the manifest (file-level pruning, the moral equivalent of
 Iceberg hidden-partition pruning). Manifests hold one entry per bucket dir,
 not per file, so manifest size is O(buckets), independent of data size.
+
+Metadata cost model (round-2 fix of the O(B²) driver path): a ``CowTable``
+instance reads the manifest chain from disk AT MOST ONCE (lazily, on first
+metadata access) and thereafter maintains the snapshot list / committed-id
+set / current snapshot incrementally on every commit — so a run of B
+micro-batches does O(B) manifest reads total, not O(B²). Cold processes
+resolve the latest snapshot via a ``version-hint.text`` file (Iceberg's
+HadoopTableOperations discipline) without globbing the manifest dir.
+``refresh()`` drops the caches for cross-process readers; the commit
+protocol already requires a single writer.
 """
 
 from __future__ import annotations
@@ -60,6 +70,19 @@ class CowTable:
         self.snap_dir = os.path.join(root, "_snapshots")
         self.data_dir = os.path.join(root, "data")
         self._n_buckets_arg = n_buckets
+        # metadata caches: populated lazily (one disk pass), maintained
+        # incrementally by commits. manifest_reads counts actual JSON loads
+        # so tests can pin the O(B)-total-reads contract.
+        self._snaps_cache: list[dict[str, Any]] | None = None
+        self._committed_cache: set[int] | None = None
+        self._current_cache: dict[str, Any] | None = None
+        self.manifest_reads = 0
+
+    def refresh(self) -> None:
+        """Drop metadata caches (for readers racing an external writer)."""
+        self._snaps_cache = None
+        self._committed_cache = None
+        self._current_cache = None
 
     # ---- metadata ----------------------------------------------------
     def create(self) -> None:
@@ -88,38 +111,87 @@ class CowTable:
     def _snap_path(self, snapshot_id: int) -> str:
         return os.path.join(self.snap_dir, f"snap-{snapshot_id:08d}.json")
 
-    def _write_snapshot(self, snap: dict[str, Any]) -> None:
-        path = self._snap_path(snap["snapshot_id"])
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)  # atomic publish: readers never see a partial snapshot
+    def _hint_path(self) -> str:
+        return os.path.join(self.snap_dir, "version-hint.text")
 
-    def current_snapshot(self) -> dict[str, Any] | None:
-        snaps = sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json")))
-        if not snaps:
-            return None
-        with open(snaps[-1]) as f:
-            return json.load(f)
-
-    def snapshot_by_id(self, snapshot_id: int) -> dict[str, Any] | None:
-        path = self._snap_path(snapshot_id)
-        if not os.path.exists(path):
-            return None
+    def _read_manifest(self, path: str) -> dict[str, Any]:
+        self.manifest_reads += 1
         with open(path) as f:
             return json.load(f)
 
+    def _atomic_write(self, path: str, payload: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic publish: readers never see a partial file
+
+    def _write_snapshot(self, snap: dict[str, Any]) -> None:
+        self._atomic_write(self._snap_path(snap["snapshot_id"]), json.dumps(snap))
+        self._atomic_write(self._hint_path(), str(snap["snapshot_id"]))
+        # incremental cache maintenance: commit N+1 never re-reads N manifests
+        self._current_cache = snap
+        if self._snaps_cache is not None:
+            self._snaps_cache.append(snap)
+        if self._committed_cache is not None and snap["batch_id"] is not None:
+            self._committed_cache.add(snap["batch_id"])
+
+    def _load_all(self) -> None:
+        """One full manifest-chain read; every later metadata call is O(1)."""
+        if self._snaps_cache is not None:
+            return
+        snaps = [
+            self._read_manifest(p)
+            for p in sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json")))
+        ]
+        self._snaps_cache = snaps
+        self._committed_cache = {
+            s["batch_id"] for s in snaps if s["batch_id"] is not None
+        }
+        if snaps:
+            self._current_cache = snaps[-1]
+
+    def current_snapshot(self) -> dict[str, Any] | None:
+        if self._current_cache is not None:
+            return self._current_cache
+        # cold fast path: version hint -> one manifest read, no globbing
+        hint = self._hint_path()
+        if os.path.exists(hint):
+            try:
+                with open(hint) as f:
+                    snap_id = int(f.read().strip())
+                self._current_cache = self._read_manifest(self._snap_path(snap_id))
+                return self._current_cache
+            except (ValueError, FileNotFoundError, json.JSONDecodeError):
+                pass  # stale/corrupt hint: fall through to the full listing
+        self._load_all()
+        return self._current_cache
+
+    def snapshot_by_id(self, snapshot_id: int) -> dict[str, Any] | None:
+        if self._snaps_cache is not None:
+            for s in self._snaps_cache:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            return None
+        path = self._snap_path(snapshot_id)
+        if not os.path.exists(path):
+            return None
+        return self._read_manifest(path)
+
     def snapshots(self) -> list[dict[str, Any]]:
-        out = []
-        for p in sorted(glob.glob(os.path.join(self.snap_dir, "snap-*.json"))):
-            with open(p) as f:
-                out.append(json.load(f))
-        return out
+        self._load_all()
+        return list(self._snaps_cache or [])
 
     def committed_batch_ids(self) -> set[int]:
-        return {s["batch_id"] for s in self.snapshots() if s["batch_id"] is not None}
+        self._load_all()
+        return set(self._committed_cache or ())
+
+    def is_committed(self, batch_id: int) -> bool:
+        """O(1) fencing check (after the one-time lazy load) — the per-batch
+        hot path; ``committed_batch_ids`` copies and is for reporting."""
+        self._load_all()
+        return batch_id in (self._committed_cache or ())
 
     # ---- read --------------------------------------------------------
     def _dirs_for(
@@ -218,7 +290,7 @@ class CowTable:
         None if the batch_id was already committed (fencing no-op)."""
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
-        if batch_id is not None and batch_id in self.committed_batch_ids():
+        if batch_id is not None and self.is_committed(batch_id):
             return None
         bucket_dirs = dict(parent["bucket_dirs"])
         delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
@@ -252,7 +324,7 @@ class CowTable:
         untouched. O(delta) write cost — the ingest-optimized path."""
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
-        if batch_id is not None and batch_id in self.committed_batch_ids():
+        if batch_id is not None and self.is_committed(batch_id):
             return None
         delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
         for b, d in appended.items():
@@ -278,16 +350,16 @@ class CowTable:
         order. Hidden-partition pruning happens driver-side from the
         manifest — only bucket(conv_id)'s files are ever listed or scanned
         (at 100 TB with 4096 buckets that is 1/4096th of the table), and
-        the conv_id filter pushes down into that scan."""
+        the conv_id filter pushes down into that scan. The bucket is
+        computed in-process (pure-Python xxhash64, pinned bit-identical to
+        the Spark expression) so NO Spark job runs before the pruned scan."""
         import pyspark.sql.functions as _F
 
-        n = self.n_buckets
-        # same function as bucket_expr, computed driver-side for pruning
-        bucket = spark.range(1).select(
-            _F.pmod(_F.xxhash64(_F.lit(conv_id)), _F.lit(n)).cast("int")
-        ).first()[0]
+        from .xxhash import bucket_of
+
+        bucket = bucket_of(conv_id, self.n_buckets)
         return (
-            self.read(spark, buckets=[int(bucket)], snapshot_id=snapshot_id)
+            self.read(spark, buckets=[bucket], snapshot_id=snapshot_id)
             .filter(_F.col("conv_id") == conv_id)
             .orderBy("turn_idx")
         )
@@ -326,6 +398,11 @@ class CowTable:
                 os.remove(self._snap_path(snap["snapshot_id"]))
             except FileNotFoundError:
                 pass
+        # expired manifests are gone from disk; keep caches consistent
+        # without a re-read (committed ids intentionally retain expired
+        # batches — fencing must survive expiration)
+        if self._snaps_cache is not None:
+            self._snaps_cache = self._snaps_cache[-keep_last:]
         return {"snapshots_removed": len(expired), "dirs_removed": removed_dirs}
 
     def max_delta_layers(self) -> int:

@@ -172,12 +172,25 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# the banded relation must outlive this call (the returned DataFrame is
+# lazy), so each call hands its persist handle here and the NEXT call
+# releases it — a long-lived session (bench/runner loop) holds at most one
+# cached banded relation instead of leaking one per invocation
+_live_banded: list[DataFrame] = []
+
+
+def _release_banded() -> None:
+    while _live_banded:
+        _live_banded.pop().unpersist()
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
 
     This is the linear-scale near-dup path: each doc emits one row per
     band; the self-join is on the band value (hash-partitionable), never
     all-pairs."""
+    _release_banded()
     sig = _signatures(spark, sf_dir)
     band_structs = [
         F.struct(
@@ -197,6 +210,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.band_key").alias("band_key")).persist()
+    _live_banded.append(banded)
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
