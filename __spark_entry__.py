@@ -19,10 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from biomedica_etl_spark.functions import text as _text
 from biomedica_etl_spark.operators import dedup as _dedup
 from biomedica_etl_spark.operators import multimodal as _multimodal
+from biomedica_etl_spark.operators import nested as _nested
 from biomedica_etl_spark.operators import relational as _relational
 from biomedica_etl_spark.operators import similarity as _similarity
 
-_ALL_MODULES = (_relational, _text, _dedup, _similarity, _multimodal)
+_ALL_MODULES = (_relational, _text, _dedup, _similarity, _multimodal, _nested)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,24 +31,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return _relational.lww_latest_event_per_user(spark, "/root/testdata/sf0.001")
 
 
-def _cdc_apply_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full engine as a query: synthesize a deterministic change log,
-    apply it in micro-batches (LWW reduce -> COW merge -> exactly-once
-    commits), return the final transcripts table. No SQL oracle — the
-    pure-Python replay oracle asserts equality in tests/."""
+# Deterministic change log at a FIXED path so the DuckDB oracle can read the
+# same bytes: the generator is seeded numpy + pyarrow (no Spark, no wall
+# clock), so whichever side materializes it first produces identical files.
+_ENTRY_CDC_LOG = os.path.join(tempfile.gettempdir(), "spark-graft-entry-cdc-log")
+
+
+def _ensure_entry_log() -> str:
     from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+
+    if not os.path.exists(os.path.join(_ENTRY_CDC_LOG, "_meta.json")):
+        generate_change_log(
+            _ENTRY_CDC_LOG,
+            GeneratorConfig(n_events=5_000, batch_size=1_000, n_convs=50,
+                            zipf_a=1.2, duplicate_frac=0.02, out_of_order=True),
+        )
+    return _ENTRY_CDC_LOG
+
+
+def _cdc_apply_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine as a query: deterministic change log applied in
+    micro-batches (LWW reduce -> merge -> exactly-once commits), returning
+    the final transcripts table. Oracle: a DuckDB LWW replay over the same
+    log files (max-lsn winner per key, deletes dropped); the pure-Python
+    replay oracle additionally asserts per-batch equality in tests/."""
     from biomedica_etl_spark.cdc.runner import CdcRunner
 
+    log = _ensure_entry_log()
     work = tempfile.mkdtemp(prefix="cdc-entry-")
-    log = os.path.join(work, "log")
-    generate_change_log(
-        log,
-        GeneratorConfig(n_events=5_000, batch_size=1_000, n_convs=50, zipf_a=1.2,
-                        duplicate_frac=0.02, out_of_order=True),
-    )
     runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8)
     runner.run()
     return runner.final_state()
+
+
+def _cdc_oracle_sql() -> str:
+    """DuckDB twin of the engine's end state: schema-tolerant union of every
+    batch file (epoch 0/1 lack ``tool``; ``turn_idx`` widens int32->int64 at
+    epoch 2 — ``union_by_name`` reproduces align_to_target), validity gate,
+    newest-lsn winner per (conv_id, turn_idx), tombstones dropped. Ties on
+    lsn are verbatim duplicates, so any winner has identical payload."""
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -65,4 +105,5 @@ def oracle_sql() -> dict[str, str]:
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql
+    out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
     return out

@@ -339,27 +339,26 @@ def merge_batch(
     return snap
 
 
-def mor_apply_batch(
+def mor_stage_batch(
     spark: SparkSession,
     table: CowTable,
     changes: DataFrame,
     batch_id: int,
     salted: bool = False,
     n_salts: int = 8,
-    lineage_dir: str | None = None,
     plan: str = "aligned",
     shuffle_salts: int = 4,
-    lineage_executor: Any = None,
     quarantine_dir: str | None = None,
 ) -> dict[str, Any] | None:
-    """Merge-on-read apply: write the LWW-reduced delta as a new layer.
+    """Spark-side half of a MOR apply: LWW-reduce the batch and write the
+    delta layer to an UNCOMMITTED staging dir. Returns the staging record
+    for ``mor_commit_staged``, or None if the batch is already committed.
 
-    Iceberg-v2-MOR-style ingest: cost is O(delta) and the base table is
-    never read or rewritten. The aligned default is ONE wide Spark job
-    (shuffle-once reduce feeding the bucket-partitioned write) with raw
-    metrics observed in-flight, plus one tiny read-back job on the written
-    layer for per-bucket lineage. Readers resolve layers by max-_lsn
-    (table.read_raw); ``compact`` folds layers back into the base.
+    Split from the commit so a pipelined runner can overlap batch k+1's
+    wide Spark job with batch k's commit + lineage (the writes of distinct
+    MOR batches are independent — only the snapshot chain serializes).
+    A crash after staging leaves only an unreferenced dir, exactly the
+    pre-existing crash model.
     """
     if table.is_committed(batch_id):
         return None
@@ -383,13 +382,25 @@ def mor_apply_batch(
         # schema-less row. Recompute the raw metrics with one O(batch)
         # aggregation job; this path only runs on such degenerate batches.
         raw = bucketed.agg(*_raw_metric_aggs()).collect()[0].asDict()
+    if raw["offsets_applied"] and raw["rows_quarantined"] and quarantine_dir is not None:
+        _write_quarantine(bucketed, quarantine_dir, batch_id)
+    return {"batch_id": batch_id, "stage": stage, "raw": raw,
+            "written": _written_dirs(stage)}
 
+
+def mor_commit_staged(
+    spark: SparkSession,
+    table: CowTable,
+    staged: dict[str, Any],
+    lineage_dir: str | None = None,
+    lineage_executor: Any = None,
+) -> dict[str, Any] | None:
+    """Publish a staged MOR layer: snapshot commit + lineage emit."""
+    batch_id, stage, raw = staged["batch_id"], staged["stage"], staged["raw"]
+    written = staged["written"]
     if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
                                   {"rows_upserted": 0, "rows_deleted": 0})
-    if raw["rows_quarantined"] and quarantine_dir is not None:
-        _write_quarantine(bucketed, quarantine_dir, batch_id)
-    written = _written_dirs(stage)
     snap = table.commit_delta(
         batch_id,
         written,
@@ -422,6 +433,38 @@ def mor_apply_batch(
         else:
             _emit()
     return snap
+
+
+def mor_apply_batch(
+    spark: SparkSession,
+    table: CowTable,
+    changes: DataFrame,
+    batch_id: int,
+    salted: bool = False,
+    n_salts: int = 8,
+    lineage_dir: str | None = None,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
+    lineage_executor: Any = None,
+    quarantine_dir: str | None = None,
+) -> dict[str, Any] | None:
+    """Merge-on-read apply: write the LWW-reduced delta as a new layer.
+
+    Iceberg-v2-MOR-style ingest: cost is O(delta) and the base table is
+    never read or rewritten. The aligned default is ONE wide Spark job
+    (shuffle-once reduce feeding the bucket-partitioned write) with raw
+    metrics observed in-flight, plus one tiny read-back job on the written
+    layer for per-bucket lineage. Readers resolve layers by max-_lsn
+    (table.read_raw); ``compact`` folds layers back into the base.
+    """
+    staged = mor_stage_batch(spark, table, changes, batch_id, salted=salted,
+                             n_salts=n_salts, plan=plan,
+                             shuffle_salts=shuffle_salts,
+                             quarantine_dir=quarantine_dir)
+    if staged is None:
+        return None
+    return mor_commit_staged(spark, table, staged, lineage_dir=lineage_dir,
+                             lineage_executor=lineage_executor)
 
 
 def compact(

@@ -27,7 +27,13 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from .checkpoint import pending_batches, planned_batches
-from .merge import compact, merge_batch, mor_apply_batch
+from .merge import (
+    compact,
+    merge_batch,
+    mor_apply_batch,
+    mor_commit_staged,
+    mor_stage_batch,
+)
 from .schema import SchemaRegistry, align_to_target
 from .table import CowTable
 
@@ -87,11 +93,20 @@ class CdcRunner:
         plan: str = "aligned",
         shuffle_salts: int = 4,
         async_lineage: bool = False,
+        pipeline_depth: int = 1,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
         batch appends an O(delta) layer; layers fold into the base whenever
-        any bucket accumulates ``compact_every`` of them."""
+        any bucket accumulates ``compact_every`` of them.
+
+        ``pipeline_depth`` > 1 (MOR only) overlaps micro-batches the way a
+        streaming engine does: up to that many batches' wide Spark jobs are
+        in flight at once (distinct MOR layers are write-independent), while
+        snapshot COMMITS stay strictly in batch order — so exactly-once
+        fencing and the checkpoint contract are unchanged. This fills the
+        scheduler gaps between jobs (driver-side planning, commit fsyncs)
+        with the next batch's executor work."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
@@ -109,6 +124,10 @@ class CdcRunner:
         # run() drains the executor before returning
         self.async_lineage = async_lineage
         self._lineage_pool = None
+        if pipeline_depth > 1 and mode != "mor":
+            raise ValueError("pipeline_depth > 1 requires mode='mor' "
+                             "(COW batches read the previous batch's output)")
+        self.pipeline_depth = pipeline_depth
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
         self.quarantine_dir = os.path.join(table_root, "_quarantine")
@@ -125,6 +144,12 @@ class CdcRunner:
             ))
         schema_of = dict(planned_batches(self.log_dir))
         result = RunResult()
+        if self.pipeline_depth > 1 and self.mode == "mor":
+            self._run_pipelined(schema_of, result, max_batches)
+            if self._lineage_pool is not None:
+                self._lineage_pool.drain()
+                self._lineage_pool = None
+            return result
         for batch_id in self.pending():
             if max_batches is not None and len(result.batches_applied) >= max_batches:
                 break
@@ -157,6 +182,60 @@ class CdcRunner:
             self._lineage_pool.drain()
             self._lineage_pool = None
         return result
+
+    def _run_pipelined(
+        self, schema_of: dict[int, int], result: RunResult,
+        max_batches: int | None,
+    ) -> None:
+        """MOR apply with up to ``pipeline_depth`` batches' Spark jobs in
+        flight. Staging (read -> align -> reduce -> layer write) fans out on
+        a thread pool — Spark job submission is thread-safe and the staged
+        layers land in distinct uncommitted dirs — while the main thread
+        commits strictly in batch order, preserving the snapshot chain."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = self.pending()
+        if max_batches is not None:
+            pending = pending[:max_batches]
+
+        def _stage(batch_id: int) -> dict[str, Any] | None:
+            changes = read_batch(self.spark, self.log_dir, batch_id,
+                                 schema_of[batch_id], self.registry)
+            return mor_stage_batch(
+                self.spark, self.table, changes, batch_id,
+                salted=self.salted, n_salts=self.n_salts, plan=self.plan,
+                shuffle_salts=self.shuffle_salts,
+                quarantine_dir=self.quarantine_dir,
+            )
+
+        def _commit_head(window: Any) -> None:
+            batch_id, fut = window.popleft()
+            staged = fut.result()  # re-raises staging failures in order
+            snap = None if staged is None else mor_commit_staged(
+                self.spark, self.table, staged,
+                lineage_dir=self.lineage_dir,
+                lineage_executor=self._lineage_pool,
+            )
+            if snap is None:
+                result.batches_skipped.append(batch_id)
+            else:
+                result.batches_applied.append(batch_id)
+                result.rows_upserted += snap["summary"].get("rows_upserted", 0)
+                result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+            if self.table.max_delta_layers() >= self.compact_every:
+                compact(self.spark, self.table)
+
+        with ThreadPoolExecutor(
+            max_workers=self.pipeline_depth, thread_name_prefix="mor-stage"
+        ) as pool:
+            window: deque = deque()
+            for batch_id in pending:
+                window.append((batch_id, pool.submit(_stage, batch_id)))
+                if len(window) >= self.pipeline_depth:
+                    _commit_head(window)
+            while window:
+                _commit_head(window)
 
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""

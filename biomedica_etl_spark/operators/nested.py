@@ -1,0 +1,179 @@
+"""Nested-type operators: array<struct> assembly/explosion, map lookup,
+JSON round-trip — over the ``events`` table.
+
+The reference's core record is nested — ``figure_set: list[struct]`` and
+``context: map<image_id, list[paragraph]>`` assembled per article
+(``src/pmc_oa/build_json.py:363-380``, ``:1045-1068``), searched by key
+path (``:460-483``, the ``nested_dict_search`` helper = F7), and serialized
+to JSON lines (``scripts/06_serilaize_to_webdataset_parallel.py:43-44`` =
+F16; payload JSON decode ``build_json.py:327-329`` = S6). This module
+re-expresses that whole family as native Spark nested-type expressions:
+
+- assemble:   ``array_sort(collect_list(struct(...)))`` — a REAL
+  ``ArrayType(StructType)`` column (not a string join), deterministic
+  because the leading struct field (event_id) is unique;
+- consume:    ``size`` / ``element_at`` / higher-order ``aggregate`` over
+  the array — all JVM-side, no shuffle beyond the one groupBy;
+- explode:    ``posexplode`` back to rows with struct-field access;
+- search:     ``from_json -> map<string,string>`` + ``element_at`` hit and
+  miss (F7), null on absent key, never an error;
+- round-trip: ``from_json`` (S6 payload decode) -> typed struct ->
+  ``to_json`` (F16) with Spark's compact serialization, string-equal to
+  DuckDB's ``to_json(struct_pack(...))``.
+
+Scale notes: per-user arrays are bounded by events-per-user (the reference's
+figures-per-article); the single shuffle is the groupBy, with map-side
+partial ``collect_list``. Float totals are summed as integer cents IN ARRAY
+ORDER on both engines — double summation order would otherwise make the
+value-hash flap at the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import tbl
+
+
+def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user array<struct<event_id,event_type,value>>, sorted by the
+    unique leading field so the array order is deterministic."""
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "event_type", "value"))
+        ).alias("turns")
+    )
+
+
+def nested_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-as-nested: build the array<struct>, then consume it with nested
+    accessors (size / element_at / higher-order aggregate)."""
+    g = _assembled(spark, sf_dir)
+    total_cents = F.aggregate(
+        "turns",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x["value"] * 100).cast("long"),
+    )
+    return g.select(
+        "user_id",
+        F.size("turns").alias("n_events"),
+        F.element_at("turns", 1)["event_type"].alias("first_type"),
+        F.element_at("turns", -1)["value"].alias("last_value"),
+        total_cents.alias("total_cents"),
+    ).orderBy("user_id")
+
+
+NESTED_ASSEMBLE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         list(struct_pack(event_id := event_id, event_type := event_type,
+                          value := value) ORDER BY event_id) AS turns
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(turns) AS INT) AS n_events,
+       turns[1].event_type AS first_type,
+       turns[len(turns)].value AS last_value,
+       CAST(list_sum(list_transform(turns,
+            x -> CAST(round(x.value * 100, 0) AS BIGINT))) AS BIGINT)
+         AS total_cents
+FROM g ORDER BY user_id
+"""
+
+
+def nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the assembly: posexplode the array<struct> back to rows
+    with positional index + struct-field access."""
+    g = _assembled(spark, sf_dir)
+    return (
+        g.select("user_id", F.posexplode("turns").alias("pos", "t"))
+        .select(
+            "user_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("t.event_id").alias("event_id"),
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.value").alias("value"),
+        )
+        .orderBy("user_id", "pos")
+    )
+
+
+NESTED_EXPLODE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         list(struct_pack(event_id := event_id, event_type := event_type,
+                          value := value) ORDER BY event_id) AS turns
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(i - 1 AS INT) AS pos,
+       turns[i].event_id AS event_id,
+       turns[i].event_type AS event_type,
+       turns[i].value AS value
+FROM g, UNNEST(range(1, len(turns) + 1)) AS t(i)
+ORDER BY user_id, pos
+"""
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + F16: decode the JSON payload column into a typed struct, then
+    re-serialize a projected struct with ``to_json`` — the exact string is
+    part of the oracle contract (Spark and DuckDB both emit compact JSON
+    with field order preserved)."""
+    e = tbl(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "props", T.StructType([T.StructField("k", T.IntegerType())])
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json(
+            F.struct(F.col("event_type"), F.col("p.k").alias("k"))
+        ).alias("payload_json"),
+    ).orderBy("event_id")
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(to_json(struct_pack(event_type := event_type,
+                                k := CAST(json_extract(props, '$.k') AS INT)))
+            AS VARCHAR) AS payload_json
+FROM events ORDER BY event_id
+"""
+
+
+def nested_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 nested-dict search: parse the payload as ``map<string,string>``
+    and look keys up with ``element_at`` — a present key yields its value,
+    an absent key yields NULL (never an error), the safe-get discipline of
+    the reference's ``nested_dict_search``."""
+    e = tbl(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return e.select(
+        "event_id",
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.element_at(m, F.lit("missing")).alias("missing_val"),
+    ).orderBy("event_id")
+
+
+NESTED_FIELD_SEARCH_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "nested_assemble": (nested_assemble, NESTED_ASSEMBLE_SQL),
+    "nested_explode": (nested_explode, NESTED_EXPLODE_SQL),
+    "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
+    "nested_field_search": (nested_field_search, NESTED_FIELD_SEARCH_SQL),
+}

@@ -175,3 +175,38 @@ def test_point_lookup_prunes_without_spark_job(spark, tmp_path):
     assert len(after) == len(before)
     got = [r["turn_idx"] for r in df.collect()]
     assert got == sorted(got) and len(got) == 10
+
+
+# ----------------------------------------------------- pipelined ingest
+def test_pipelined_mor_matches_oracle_and_is_exactly_once(spark, tmp_path):
+    from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+    from biomedica_etl_spark.cdc.oracle import replay
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["everything"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  compact_every=4, async_lineage=True, pipeline_depth=3)
+    res = r.run()
+    assert res.batches_skipped == []
+    actual = [x.asDict() for x in r.final_state().collect()]
+    expected = replay(log)
+    assert actual == expected
+    # commits happened strictly in batch order
+    batch_ids = [s["batch_id"] for s in r.table.snapshots()
+                 if s["batch_id"] is not None]
+    assert batch_ids == sorted(batch_ids) == res.batches_applied
+    # exactly-once: a second pipelined run applies nothing
+    r2 = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                   pipeline_depth=3)
+    assert r2.run().batches_applied == []
+
+
+def test_pipeline_depth_rejected_for_cow(spark, tmp_path):
+    import pytest
+
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    with pytest.raises(ValueError, match="mor"):
+        CdcRunner(spark, str(tmp_path / "log"), str(tmp_path / "t"),
+                  mode="cow", pipeline_depth=2)
