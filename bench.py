@@ -77,10 +77,15 @@ HEADLINE = [
     "offset_range_batching",
     "quality_scores",
     "minhash_lsh_candidates",
+    "minhash_lsh_full",
     "simhash_16",
     "cosine_topk",
     "ann_lsh_bucketed",
     "multimodal_decode",
+    "nested_assemble",
+    "json_roundtrip",
+    "pandas_normalize_text",
+    "citation_date_parse",
 ]
 
 

@@ -199,6 +199,16 @@ def _layer_bucket_metrics(
     ]
 
 
+def _stage_writer(df: DataFrame, max_records_per_file: int):
+    """Bucket-partitioned stage write with optional per-file row cap (the
+    reference's shard-size discipline, O7 — at scale you cap data-file size
+    so downstream scans get uniform splits and object stores stay happy)."""
+    w = df.write.mode("overwrite")
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    return w.partitionBy(BUCKET_COL)
+
+
 def _written_dirs(stage: str) -> dict[int, str]:
     return {
         int(os.path.basename(p).split("=")[1]): p
@@ -234,6 +244,7 @@ def merge_batch(
     shuffle_salts: int = 4,
     lineage_executor: Any = None,
     quarantine_dir: str | None = None,
+    max_records_per_file: int = 0,
 ) -> dict[str, Any] | None:
     """COW MERGE of one micro-batch as one commit.
 
@@ -280,7 +291,7 @@ def merge_batch(
         everything = _base_as_changes(base, n_buckets).unionByName(bucketed)
         merged = _to_stored(lww_reduce_aligned(everything, BUCKET_COL, n_buckets,
                                                shuffle_salts=shuffle_salts))
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        _stage_writer(merged, max_records_per_file).parquet(stage)
     else:
         delta = _reduce(bucketed, n_buckets, plan, salted, n_salts, shuffle_salts)
         d = delta.select(
@@ -305,9 +316,10 @@ def merge_batch(
             .otherwise(F.coalesce(F.col(SYS_DELETED), F.lit(False)))
             .alias(SYS_DELETED),
         ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
-        merged.repartition(max(len(affected), 1), F.col(BUCKET_COL)).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_COL).parquet(stage)
+        _stage_writer(
+            merged.repartition(max(len(affected), 1), F.col(BUCKET_COL)),
+            max_records_per_file,
+        ).parquet(stage)
 
     rewritten = _written_dirs(stage)
     # an affected bucket can produce zero live rows (all-tombstone merge
@@ -349,6 +361,7 @@ def mor_stage_batch(
     plan: str = "aligned",
     shuffle_salts: int = 4,
     quarantine_dir: str | None = None,
+    max_records_per_file: int = 0,
 ) -> dict[str, Any] | None:
     """Spark-side half of a MOR apply: LWW-reduce the batch and write the
     delta layer to an UNCOMMITTED staging dir. Returns the staging record
@@ -372,7 +385,7 @@ def mor_stage_batch(
     delta = _reduce(observed.filter(_valid_pred()), n_buckets, plan, salted,
                     n_salts, shuffle_salts)
     stage = table.new_data_dir()
-    _to_stored(delta).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    _stage_writer(_to_stored(delta), max_records_per_file).parquet(stage)
     try:
         raw = obs.get
     except Exception:  # noqa: BLE001
@@ -447,6 +460,7 @@ def mor_apply_batch(
     shuffle_salts: int = 4,
     lineage_executor: Any = None,
     quarantine_dir: str | None = None,
+    max_records_per_file: int = 0,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
@@ -460,7 +474,8 @@ def mor_apply_batch(
     staged = mor_stage_batch(spark, table, changes, batch_id, salted=salted,
                              n_salts=n_salts, plan=plan,
                              shuffle_salts=shuffle_salts,
-                             quarantine_dir=quarantine_dir)
+                             quarantine_dir=quarantine_dir,
+                             max_records_per_file=max_records_per_file)
     if staged is None:
         return None
     return mor_commit_staged(spark, table, staged, lineage_dir=lineage_dir,
@@ -468,7 +483,8 @@ def mor_apply_batch(
 
 
 def compact(
-    spark: SparkSession, table: CowTable, shuffle_salts: int = 4
+    spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
+    max_records_per_file: int = 0,
 ) -> dict[str, Any] | None:
     """Fold all merge-on-read delta layers into the base (COW rewrite of
     buckets that have layers). Tombstones are retained — an out-of-order
@@ -489,7 +505,7 @@ def compact(
                            shuffle_salts=shuffle_salts)
     )
     stage = table.new_data_dir()
-    resolved.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    _stage_writer(resolved, max_records_per_file).parquet(stage)
     rewritten = _written_dirs(stage)
     # every bucket in delta_dirs has at least one row; still, carry any
     # bucket that produced no output file by mapping it to an empty new dir

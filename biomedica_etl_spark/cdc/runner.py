@@ -94,6 +94,7 @@ class CdcRunner:
         shuffle_salts: int = 4,
         async_lineage: bool = False,
         pipeline_depth: int = 1,
+        max_records_per_file: int = 0,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -128,6 +129,8 @@ class CdcRunner:
             raise ValueError("pipeline_depth > 1 requires mode='mor' "
                              "(COW batches read the previous batch's output)")
         self.pipeline_depth = pipeline_depth
+        # O7 shard sizing: cap rows per written data file (0 = uncapped)
+        self.max_records_per_file = max_records_per_file
         self.registry = SchemaRegistry()
         self.lineage_dir = os.path.join(table_root, "_lineage")
         self.quarantine_dir = os.path.join(table_root, "_quarantine")
@@ -169,6 +172,7 @@ class CdcRunner:
                 shuffle_salts=self.shuffle_salts,
                 lineage_executor=self._lineage_pool,
                 quarantine_dir=self.quarantine_dir,
+                max_records_per_file=self.max_records_per_file,
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table)
@@ -207,6 +211,7 @@ class CdcRunner:
                 salted=self.salted, n_salts=self.n_salts, plan=self.plan,
                 shuffle_salts=self.shuffle_salts,
                 quarantine_dir=self.quarantine_dir,
+                max_records_per_file=self.max_records_per_file,
             )
 
         def _commit_head(window: Any) -> None:

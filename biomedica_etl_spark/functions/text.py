@@ -11,8 +11,10 @@ for deterministic comparison.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources import tbl
 
@@ -190,6 +192,154 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------- scalar pandas UDF (F14)
+def normalize_text_udf():
+    """F14: the reference's per-row xref/HTML-tag stripper re-expressed as a
+    SCALAR pandas UDF (``src/pmc_oa/build_json.py:768-791`` removes
+    ``<xref>`` reference tags from captions one string at a time; here each
+    invocation normalizes an Arrow batch of ~10k strings with vectorized
+    pandas str ops — the §2.9 rule: Python only via Arrow batches, never
+    row-at-a-time). Semantics are regex-definable on purpose so DuckDB can
+    oracle the exact output: strip tags, collapse whitespace, trim.
+
+    Built lazily (decorating at import time requires an active session for
+    return-type resolution)."""
+
+    @pandas_udf("string")
+    def normalize(raw: pd.Series) -> pd.Series:
+        s = raw.str.replace(r"<[^>]*>", " ", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True)
+        return s.str.strip()
+
+    return normalize
+
+
+def pandas_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each doc's text in deterministic xref-style markup, then strip
+    it back out through the scalar pandas UDF."""
+    d = tbl(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<xref rid="b'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.col("source"), F.lit("</xref>  "), F.col("text"),
+    )
+    return d.select(
+        "doc_id", normalize_text_udf()(raw).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+PANDAS_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+            '<xref rid="b' || CAST(doc_id AS VARCHAR) || '">' || source
+              || '</xref>  ' || text,
+            '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- citation date parse (F3/F4)
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_SEASON_MONTH = {"Winter": 1, "Spring": 4, "Summer": 7, "Fall": 10}
+
+
+def citation_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: the reference's messy citation-date parse
+    (``src/pmc_oa/build_json.py:988-1042``): a pub-date string that may be
+    'YYYY Mon D', 'YYYY Mon', bare 'YYYY', or 'YYYY <Season>' is parsed
+    with regex + a season->month when-chain + defaulted components
+    (month -> 1, day -> 1). The messy strings are BUILT deterministically
+    from orders (four variants by key mod 4) so both engines parse
+    identical inputs; everything stays in WholeStageCodegen."""
+    o = tbl(spark, sf_dir, "orders")
+    mon_name = F.element_at(
+        F.array(*[F.lit(m) for m in _MONTHS]), F.month("o_orderdate")
+    )
+    season = (
+        F.when(F.month("o_orderdate").isin(12, 1, 2), "Winter")
+        .when(F.month("o_orderdate").isin(3, 4, 5), "Spring")
+        .when(F.month("o_orderdate").isin(6, 7, 8), "Summer")
+        .otherwise("Fall")
+    )
+    year_s = F.year("o_orderdate").cast("string")
+    variant = F.pmod(F.col("o_orderkey"), F.lit(4))
+    citation = (
+        F.when(variant == 0, F.concat_ws(" ", year_s, mon_name,
+                                         F.dayofmonth("o_orderdate").cast("string")))
+        .when(variant == 1, F.concat_ws(" ", year_s, mon_name))
+        .when(variant == 2, year_s)
+        .otherwise(F.concat_ws(" ", year_s, season))
+    )
+    c = o.select("o_orderkey", citation.alias("citation"))
+
+    year = F.regexp_extract("citation", r"(\d{4})", 1).cast("int")
+    mon_extract = F.regexp_extract(
+        "citation", r"\b(" + "|".join(_MONTHS) + r")\b", 1)
+    season_extract = F.regexp_extract(
+        "citation", r"\b(Winter|Spring|Summer|Fall)\b", 1)
+    mon_from_name = F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), mon_extract).cast("int")
+    season_chain = None
+    for name, m in _SEASON_MONTH.items():
+        clause = F.when(season_extract == name, F.lit(m))
+        season_chain = clause if season_chain is None else season_chain.when(
+            season_extract == name, F.lit(m))
+    day = F.regexp_extract("citation", r" (\d{1,2})$", 1)
+    return c.select(
+        "o_orderkey",
+        "citation",
+        year.alias("cite_year"),
+        F.coalesce(
+            F.when(mon_from_name > 0, mon_from_name),
+            season_chain,
+            F.lit(1),
+        ).cast("int").alias("cite_month"),
+        F.coalesce(
+            F.when(day != "", day.cast("int")), F.lit(1)
+        ).cast("int").alias("cite_day"),
+    ).orderBy("o_orderkey")
+
+
+_MON_CASE = " ".join(
+    f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(_MONTHS)
+)
+_SEASON_CASE = " ".join(
+    f"WHEN '{s}' THEN {m}" for s, m in _SEASON_MONTH.items()
+)
+CITATION_DATE_SQL = rf"""
+WITH c AS (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN CAST(year(o_orderdate) AS VARCHAR) || ' ' ||
+                       strftime(o_orderdate, '%b') || ' ' ||
+                       CAST(day(o_orderdate) AS VARCHAR)
+           WHEN 1 THEN CAST(year(o_orderdate) AS VARCHAR) || ' ' ||
+                       strftime(o_orderdate, '%b')
+           WHEN 2 THEN CAST(year(o_orderdate) AS VARCHAR)
+           ELSE CAST(year(o_orderdate) AS VARCHAR) || ' ' ||
+                CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'Winter'
+                     WHEN month(o_orderdate) IN (3, 4, 5) THEN 'Spring'
+                     WHEN month(o_orderdate) IN (6, 7, 8) THEN 'Summer'
+                     ELSE 'Fall' END
+         END AS citation
+  FROM orders
+)
+SELECT o_orderkey, citation,
+       CAST(regexp_extract(citation, '(\d{{4}})', 1) AS INT) AS cite_year,
+       CAST(coalesce(
+         nullif(CASE regexp_extract(citation,
+                  '\b({"|".join(_MONTHS)})\b', 1) {_MON_CASE} ELSE 0 END, 0),
+         nullif(CASE regexp_extract(citation,
+                  '\b(Winter|Spring|Summer|Fall)\b', 1) {_SEASON_CASE}
+                ELSE 0 END, 0),
+         1) AS INT) AS cite_month,
+       CAST(coalesce(
+         nullif(regexp_extract(citation, ' (\d{{1,2}})$', 1), '')::INT,
+         1) AS INT) AS cite_day
+FROM c ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "scalar_extracts": (scalar_extracts, SCALAR_EXTRACTS_SQL),
     "date_parts": (date_parts, DATE_PARTS_SQL),
@@ -197,4 +347,6 @@ QUERIES: dict[str, tuple] = {
     "quality_scores": (quality_scores, QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "pandas_normalize_text": (pandas_normalize_text, PANDAS_NORMALIZE_SQL),
+    "citation_date_parse": (citation_date_parse, CITATION_DATE_SQL),
 }

@@ -106,9 +106,29 @@ ORDER BY keep_doc_id
 
 
 # --- n-gram Jaccard ----------------------------------------------------------
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5."""
-    sh = _shingles(spark, sf_dir).distinct()  # Jaccard needs set semantics
+# posting-list cap: a shingle appearing in more than this many docs is
+# dropped from BOTH the intersection join and the per-doc set sizes (the
+# Jaccard becomes exact over the capped shingle sets). One corpus-hot
+# shingle ("in this paper") otherwise produces a quadratic join bucket —
+# every large dedup system caps document frequency for exactly this reason.
+JACCARD_MAX_DF = 64
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = JACCARD_MAX_DF
+) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 over df-capped
+    shingle sets (cap mirrored in the oracle)."""
+    sh_all = _shingles(spark, sf_dir).distinct()  # Jaccard needs set semantics
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    # semi join keeps only capped shingles; the shuffle is on `shingle`,
+    # which the intersection self-join needs anyway
+    sh = sh_all.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -132,10 +152,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {JACCARD_MAX_DF}) ok USING (shingle)
+),
+ns AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, round(inter / (na.n + nb.n - inter), 6) AS jaccard
@@ -146,15 +172,22 @@ ORDER BY d1, d2
 
 
 # --- MinHash + LSH -----------------------------------------------------------
+# Demo config keeps the oracle rows human-auditable; the production config
+# (128 hashes, 16 bands of 8 — a standard ~0.85-Jaccard recall knee) runs
+# as its own oracle-checked query and is what the benchmark exercises.
 _N_HASHES = 4
 _BAND_SIZE = 2  # 2 bands of 2 minhashes
+_FULL_N_HASHES = 128
+_FULL_BAND_SIZE = 8  # 16 bands of 8
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures(
+    spark: SparkSession, sf_dir: str, n_hashes: int = _N_HASHES
+) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(_N_HASHES)
+        for k in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -164,10 +197,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
+def _sig_cols_sql(n_hashes: int) -> str:
+    return ", ".join(
+        f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(n_hashes)
+    )
+
+
 MINHASH_SIG_SQL = f"""
 WITH {_SHINGLES_CTE}
-SELECT doc_id,
-       {", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+SELECT doc_id, {_sig_cols_sql(_N_HASHES)}
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -184,22 +222,19 @@ def _release_banded() -> None:
         _live_banded.pop().unpersist()
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the MinHash signature.
-
-    This is the linear-scale near-dup path: each doc emits one row per
-    band; the self-join is on the band value (hash-partitionable), never
-    all-pairs."""
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
+) -> DataFrame:
     _release_banded()
-    sig = _signatures(spark, sf_dir)
+    sig = _signatures(spark, sf_dir, n_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *[
-                F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)
+                F.col(f"mh{b * band_size + j}") for j in range(band_size)
             ])).alias("band_key"),
         )
-        for b in range(_N_HASHES // _BAND_SIZE)
+        for b in range(n_hashes // band_size)
     ]
     # one pass over the signatures: bands come from a single explode, and
     # the tiny banded relation (n_docs x bands rows, ~40 B each) is
@@ -223,23 +258,51 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_LSH_SQL = f"""
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    This is the linear-scale near-dup path: each doc emits one row per
+    band; the self-join is on the band value (hash-partitionable), never
+    all-pairs."""
+    return _lsh_candidates(spark, sf_dir, _N_HASHES, _BAND_SIZE)
+
+
+def minhash_lsh_candidates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-parameter LSH (128 hashes, 16 bands of 8): identical
+    plan shape to the demo config — the banded relation just has 16 rows
+    per doc instead of 2 and the signature aggregate 128 min() columns, all
+    map-side. This is the configuration the benchmark times."""
+    return _lsh_candidates(spark, sf_dir, _FULL_N_HASHES, _FULL_BAND_SIZE)
+
+
+def _lsh_sql(n_hashes: int, band_size: int) -> str:
+    bands = []
+    for b in range(n_hashes // band_size):
+        key = " || '|' || ".join(
+            f"mh{b * band_size + j}" for j in range(band_size)
+        )
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig"
+        )
+    banded = "\n  UNION ALL\n  ".join(bands)
+    return f"""
 WITH {_SHINGLES_CTE},
 sig AS (
-  SELECT doc_id,
-         {", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  SELECT doc_id, {_sig_cols_sql(n_hashes)}
   FROM sh GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+  {banded}
 )
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY d1, d2
 """
+
+
+MINHASH_LSH_SQL = _lsh_sql(_N_HASHES, _BAND_SIZE)
+MINHASH_LSH_FULL_SQL = _lsh_sql(_FULL_N_HASHES, _FULL_BAND_SIZE)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -290,5 +353,6 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),
+    "minhash_lsh_full": (minhash_lsh_candidates_full, MINHASH_LSH_FULL_SQL),
     "simhash_16": (simhash_16, SIMHASH_SQL),
 }

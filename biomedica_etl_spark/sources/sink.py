@@ -1,0 +1,54 @@
+"""Routed, size-capped parquet sink.
+
+The write half of the reference's 3-way routing + shard sizing: records are
+routed into per-category outputs (``scripts/01_download_filelists.py:50-63``
+splits the manifest into commercial / non-commercial / other file lists) and
+each output is rolled into bounded-size shards
+(``scripts/06_serilaize_to_webdataset_parallel.py:214-219`` caps records per
+tar shard). Spark-first: the route is a PARTITION COLUMN (one directory per
+route, readable back with partition pruning) and the shard cap is the
+per-task ``maxRecordsPerFile`` write option — the writer rolls files at the
+cap with zero extra shuffle.
+
+Scale notes: ``partitionBy(route)`` with few routes and many tasks produces
+up to tasks x routes files; callers that need exactly-k files per route
+repartition on the route first (``repartition_per_route``), trading one
+shuffle for a bounded file count — at 100 TB you pick per job: ingest
+pipelines keep the no-shuffle form, publish steps pay the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_routed(
+    df: DataFrame,
+    path: str,
+    route_col: str,
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+    repartition_per_route: int | None = None,
+) -> None:
+    """Write ``df`` partitioned by ``route_col`` with per-file row caps.
+
+    ``max_records_per_file=0`` disables the cap (Spark default).
+    ``repartition_per_route`` shuffles to that many writer tasks per route
+    value first, bounding the file count to roughly
+    ``ceil(rows_per_route / max_records_per_file)`` instead of one file per
+    (task, route) pair.
+    """
+    out = df
+    if repartition_per_route is not None:
+        # salt within the route so one hot route spreads over k writers
+        out = out.repartition(
+            repartition_per_route,
+            F.col(route_col),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                   F.lit(repartition_per_route)),
+        )
+    writer = out.write.mode(mode)
+    if max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(route_col).parquet(path)

@@ -43,9 +43,11 @@ def test_queries_and_oracles_align():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every query except the explicitly non-SQL-expressible ones has an oracle
-    assert set(qs) - set(oracles) == {"cdc_apply_end_to_end"}
-    assert len(qs) >= 30
+    # round 2: EVERY query has a DuckDB oracle, including the full CDC run
+    # (its change log generates deterministically at a fixed path so the
+    # SQL replay reads the same bytes)
+    assert set(qs) == set(oracles)
+    assert len(qs) >= 40
 
 
 def _norm(v):

@@ -210,3 +210,87 @@ def test_pipeline_depth_rejected_for_cow(spark, tmp_path):
     with pytest.raises(ValueError, match="mor"):
         CdcRunner(spark, str(tmp_path / "log"), str(tmp_path / "t"),
                   mode="cow", pipeline_depth=2)
+
+
+# -------------------------------------------- routed sink + file sizing
+def test_write_routed_partitions_and_caps_files(spark, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.sources import tbl
+    from biomedica_etl_spark.sources.sink import write_routed
+
+    e = tbl(spark, "/root/testdata/sf0.001", "events")
+    routed = e.withColumn(
+        "route",
+        F.when(F.col("event_type") == "click", "commercial")
+        .when(F.col("event_type") == "view", "noncommercial")
+        .otherwise("other"),
+    )
+    out = str(tmp_path / "routed")
+    write_routed(routed, out, "route", max_records_per_file=200,
+                 repartition_per_route=4)
+    routes = sorted(os.path.basename(d).split("=")[1]
+                    for d in _glob.glob(os.path.join(out, "route=*")))
+    assert routes == ["commercial", "noncommercial", "other"]
+    total = 0
+    for f in _glob.glob(os.path.join(out, "route=*", "*.parquet")):
+        n = pq.read_metadata(f).num_rows
+        assert n <= 200, f
+        total += n
+    assert total == e.count()
+    # reading back with a route filter prunes to one partition dir
+    back = spark.read.parquet(out).filter(F.col("route") == "commercial")
+    assert back.count() == routed.filter("route = 'commercial'").count()
+
+
+def test_table_write_respects_max_records_per_file(spark, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, GeneratorConfig(n_events=8_000, batch_size=4_000,
+                                             n_convs=40))
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=4, mode="mor",
+                  max_records_per_file=150)
+    r.run()
+    files = _glob.glob(os.path.join(str(tmp_path / "t"), "data", "*",
+                                    "_bucket=*", "*.parquet"))
+    assert files
+    assert all(pq.read_metadata(f).num_rows <= 150 for f in files)
+
+
+def test_jaccard_posting_list_cap_drops_hot_shingles(spark, tmp_path):
+    """A shingle shared by many docs must not explode the pair join: with
+    the cap at 64, a 100-doc-hot shingle contributes zero intersections."""
+    from biomedica_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # every doc is identical -> every shingle has df=100, far above the cap
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "src", 30)
+            for i in range(100)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    # capped: all shingles are corpus-hot -> dropped -> the quadratic
+    # bucket never forms and no pairs emerge
+    assert ngram_jaccard_pairs(spark, str(sf)).count() == 0
+    # uncapped: identical docs -> jaccard 1.0 -> C(100,2) pairs (the blowup
+    # the cap exists to prevent)
+    assert ngram_jaccard_pairs(spark, str(sf), max_df=1000).count() == 4950
