@@ -340,6 +340,36 @@ FROM c ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------- token filter from split (F12)
+def token_filter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: split -> per-token predicate filter -> recombine (the
+    reference's keep-only-informative-tokens pass over split strings,
+    ``src/pmc_oa/build_json.py:848-862`` filters split journal tokens).
+    Higher-order ``filter`` keeps the lambda JVM-side."""
+    d = tbl(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    longw = F.filter(ws, lambda w: F.length(w) >= 5)
+    return d.select(
+        "doc_id",
+        F.size(longw).cast("int").alias("n_long_tokens"),
+        F.array_join(F.slice(longw, 1, 3), " ").alias("long_preview"),
+    ).orderBy("doc_id")
+
+
+TOKEN_FILTER_SPLIT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> length(w) >= 5) AS longw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(longw) AS INT) AS n_long_tokens,
+       array_to_string(longw[1:3], ' ') AS long_preview
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "scalar_extracts": (scalar_extracts, SCALAR_EXTRACTS_SQL),
     "date_parts": (date_parts, DATE_PARTS_SQL),
@@ -349,4 +379,5 @@ QUERIES: dict[str, tuple] = {
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
     "pandas_normalize_text": (pandas_normalize_text, PANDAS_NORMALIZE_SQL),
     "citation_date_parse": (citation_date_parse, CITATION_DATE_SQL),
+    "token_filter_split": (token_filter_split, TOKEN_FILTER_SPLIT_SQL),
 }

@@ -171,9 +171,51 @@ FROM events ORDER BY event_id
 """
 
 
+def array_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 empty-collection filter + F10 transform-over-typed-array: subset
+    each user's turn array with a higher-order ``filter`` lambda (rare
+    high-value error events), then DROP users whose filtered array is empty
+    — the reference's skip-record-when-collection-empty gate
+    (``scripts/06_serilaize_to_webdataset_parallel.py:190-197`` skips
+    articles whose figure list came back empty)."""
+    g = _assembled(spark, sf_dir)
+    errs = F.filter(
+        "turns",
+        lambda x: (x["event_type"] == "error") & (x["value"] > 90),
+    )
+    withe = g.select("user_id", errs.alias("errs"))
+    return (
+        withe.filter(F.size("errs") > 0)
+        .select(
+            "user_id",
+            F.size("errs").alias("n_big_errors"),
+            F.element_at("errs", 1)["event_id"].alias("first_err_event"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ARRAY_FILTER_GATE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         list_filter(
+           list(struct_pack(event_id := event_id, event_type := event_type,
+                            value := value) ORDER BY event_id),
+           x -> x.event_type = 'error' AND x.value > 90) AS errs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(errs) AS INT) AS n_big_errors,
+       errs[1].event_id AS first_err_event
+FROM g WHERE len(errs) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "nested_assemble": (nested_assemble, NESTED_ASSEMBLE_SQL),
     "nested_explode": (nested_explode, NESTED_EXPLODE_SQL),
     "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
     "nested_field_search": (nested_field_search, NESTED_FIELD_SEARCH_SQL),
+    "array_filter_gate": (array_filter_gate, ARRAY_FILTER_GATE_SQL),
 }
