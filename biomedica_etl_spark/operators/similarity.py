@@ -150,17 +150,22 @@ ORDER BY a.bucket, d1, d2
 _N_CELLS = 16
 
 
-def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_coarse(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
     """IVF-style ANN: coarse-quantize to the nearest of 16 centroid cells,
-    then exact top-3 cosine WITHIN the query's cell only.
+    then exact top-3 cosine within the query's ``nprobe`` nearest cells.
 
     Centroids are deterministic (the vectors with vec_id < 16) so the
     whole operator stays DuckDB-oracle-checkable; a production build swaps
     in trained KMeans centroids and nothing else changes. The plan is the
     IVF scale shape: the centroid table broadcasts (assignment is
     map-side, no shuffle of the corpus), vectors then join candidates
-    key-equi on cell_id — shuffle linear in rows, per-cell pair count
-    bounded by the cell size, AQE splits hot cells.
+    key-equi on cell_id — shuffle linear in rows x nprobe, per-cell pair
+    count bounded by the cell size, AQE splits hot cells. ``nprobe > 1``
+    is the standard recall knob: only the QUERY side fans out to its n
+    nearest cells (the corpus stays single-assigned, so probed cells are
+    disjoint and no candidate dedup is needed).
     """
     from pyspark.sql import Window
 
@@ -175,12 +180,11 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter("rn = 1")
-        .select("vec_id", "v", "norm", "cell_id")
-    )
-    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.filter("rn = 1").select("vec_id", "v", "norm", "cell_id")
+    q = ranked.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= nprobe)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"), "cell_id",
     )
@@ -201,7 +205,15 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_SQL = f"""
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the recall-vs-cost knob turned one notch: each
+    query searches its two nearest cells. Same single key-equi shuffle;
+    only the tiny query side doubles."""
+    return ann_ivf_coarse(spark, sf_dir, nprobe=2)
+
+
+def _ivf_sql(nprobe: int) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
@@ -212,14 +224,13 @@ scored AS (
          round(list_dot_product(n.v, cents.cv) / (n.norm * cents.cnorm), 6) AS ccos
   FROM n CROSS JOIN cents
 ),
-assigned AS (
-  SELECT vec_id, v, norm, cell_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn
+  FROM scored
 ),
+assigned AS (SELECT vec_id, v, norm, cell_id FROM ranked WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell_id
-      FROM assigned WHERE vec_id % 50 = 0),
+      FROM ranked WHERE vec_id % 50 = 0 AND rn <= {nprobe}),
 pairs AS (
   SELECT a.cell_id, q.query_id, a.vec_id AS neighbor_id,
          round(list_dot_product(q.qv, a.v) / (q.qnorm * a.norm), 6) AS cosine
@@ -233,9 +244,14 @@ ORDER BY query_id, rank
 """
 
 
+ANN_IVF_SQL = _ivf_sql(1)
+ANN_IVF_NPROBE2_SQL = _ivf_sql(2)
+
+
 QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_near_dup": (embedding_near_dup, NEAR_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_coarse": (ann_ivf_coarse, ANN_IVF_SQL),
+    "ann_ivf_nprobe2": (ann_ivf_nprobe2, ANN_IVF_NPROBE2_SQL),
 }
