@@ -372,6 +372,11 @@ Method notes (all applied identically at both core counts):
   (bucket(conv_id), salt(turn_idx)) feeding the bucket-partitioned write,
   raw metrics observed in-flight (merge.py module docstring has the plan);
   the salt spreads zipf-hot conversations across writer tasks.
+- Micro-batches are PIPELINED (pipeline_depth={CDC_PIPELINE}): batch k+1's
+  wide job overlaps batch k's commit + async lineage read-back; commits
+  stay strictly in batch order, so exactly-once fencing is unchanged.
+  Driver-side metadata is O(1) per commit (incremental snapshot cache +
+  version-hint), evidenced flat over 64 micro-batches in BENCH/SUSTAINED.md.
 - Single-JVM local mode still understates scaling vs a real 4x-executor
   cluster: driver work, GC, and the Python commit loop are shared
   constant costs at both sizes.

@@ -348,11 +348,78 @@ FROM votes ORDER BY doc_id
 """
 
 
+# --- connected components (dedup clustering) --------------------------------
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the LSH candidate-pair graph into duplicate groups:
+    connected components by iterative min-label propagation.
+
+    The step every dedup pipeline needs after pair generation — near-dup
+    PAIRS (a~b, b~c) must collapse to one keeper per GROUP {a,b,c}. Each
+    iteration is one join + one min-aggregate; labels monotonically
+    decrease, so the loop converges in O(component diameter) rounds (2-3
+    for near-dup clusters, which are dense). ``localCheckpoint`` truncates
+    the lineage per round so the plan stays flat. At web scale you swap
+    the propagation step for the large-star/small-star rewrite (same loop
+    skeleton, provably O(log n) rounds); the fixpoint test and output
+    contract are unchanged.
+
+    Output: (doc_id, cluster_id = min doc_id in its component), docs that
+    appear in at least one candidate pair only.
+    """
+    pairs = _lsh_candidates(spark, sf_dir, _N_HASHES, _BAND_SIZE)
+    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+        )
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+DEDUP_CC_SQL = f"""
+WITH RECURSIVE
+cand AS (SELECT * FROM ({_lsh_sql(_N_HASHES, _BAND_SIZE)}) lsh),
+sym AS (
+  SELECT d1 AS u, d2 AS v FROM cand
+  UNION
+  SELECT d2 AS u, d1 AS v FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),
     "minhash_lsh_full": (minhash_lsh_candidates_full, MINHASH_LSH_FULL_SQL),
+    "dedup_clusters": (dedup_connected_components, DEDUP_CC_SQL),
     "simhash_16": (simhash_16, SIMHASH_SQL),
 }
