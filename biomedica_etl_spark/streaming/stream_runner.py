@@ -97,3 +97,56 @@ def stream_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming tumbling-window aggregation with late-data semantics.
+
+    The §2.8 watermark contract as a first-class operator: event-time
+    windows accumulate state across micro-batches, the watermark trails
+    max(ts) by the lateness bound, APPEND mode emits a window exactly once
+    — when the watermark passes its end — and an event arriving after its
+    window closed is DROPPED (bounded state: the store never holds closed
+    windows). ``maxFilesPerTrigger=1`` makes each source file one
+    micro-batch so watermark advancement between batches is testable.
+
+    Sink is an in-memory table named ``query_name`` (swap for any sink at
+    scale; the agg state store and semantics are identical).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n_events", "total")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -35,3 +35,68 @@ def test_stream_apply_matches_oracle_and_restart_is_noop(spark, tmp_path):
     q2 = stream_apply(spark, log, table_root, ckpt, n_buckets=8, mode="mor")
     assert q2.awaitTermination(120)
     assert len(table.snapshots()) == n_snaps
+
+
+def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
+    """§2.8 late-data contract: append-mode windows emit exactly once when
+    the watermark passes their end, and an event arriving after its window
+    closed is dropped from the aggregate."""
+    import datetime
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.streaming.stream_runner import stream_windowed_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 0: fills [10:00,11:00) and reaches 11:40 -> watermark advances
+    # to 11:10 (30 min lateness) after the batch
+    _write("a.parquet", [(1, ts(5), 1.0), (2, ts(20), 2.0), (3, ts(50), 3.0),
+                         (4, ts(100), 4.0)], mtime=time.time() - 90)
+    # batch 1: runs with watermark 11:10 > window end 11:00, so
+    # [10:00,11:00) EMITS with its 3 on-time events and its state is
+    # evicted; max ts 12:40 pushes the watermark to 12:10
+    _write("b.parquet", [(6, ts(110), 6.0), (7, ts(160), 7.0)],
+           mtime=time.time() - 60)
+    # batch 2: an event for the ALREADY-CLOSED [10:00,11:00) window (its
+    # end is far below the 12:10 watermark) — the guaranteed-drop case
+    _write("c.parquet", [(5, ts(15), 100.0)], mtime=time.time() - 30)
+
+    q = stream_windowed_counts(
+        spark, str(src), str(tmp_path / "ckpt"), query_name="win_counts",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    out = {}
+    for r in rows:
+        # append mode must emit each window EXACTLY once — a resurrected
+        # closed window would appear twice
+        assert r["window_start"] not in out, "window emitted twice"
+        out[r["window_start"]] = (r["n_events"], r["total"])
+    # [10:00,11:00): events 1,2,3 — the too-late event 5 (value 100) was
+    # dropped after the window closed
+    assert out[base] == (3, 6.0)
+    # [11:00,12:00): events 4 and 6, finalized when the watermark passed
+    assert out[base + datetime.timedelta(hours=1)] == (2, 10.0)
+    # [12:00,13:00) never finalized (watermark stops at 12:10)
+    assert base + datetime.timedelta(hours=2) not in out
