@@ -86,11 +86,16 @@ FROM orders ORDER BY o_orderkey
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over documents (training-data pipeline op)."""
+    """Token counting over documents (training-data pipeline op): the
+    whitespace count plus a BPE-ish pre-tokenizer count (word runs and
+    individual punctuation marks, the GPT-style pre-split) — the cheap
+    training-token estimator a corpus budget is planned with."""
     d = tbl(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]"))
+        .cast("bigint").alias("n_tokens_bpe"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
     ).orderBy("doc_id")
 
@@ -99,6 +104,7 @@ TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
        CAST(CASE WHEN trim(text) = '' THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents ORDER BY doc_id
 """
