@@ -52,3 +52,31 @@ def write_routed(
     if max_records_per_file > 0:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.partitionBy(route_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write a Spark BUCKETED (and bucket-sorted) table for co-located joins.
+
+    Two tables bucketed the same way on the join key join with ZERO
+    exchanges (and with ``sortBy``, zero sorts) — the shuffle is paid once
+    at write time and amortized over every subsequent join/aggregation on
+    that key. This is the declarative twin of ``CowTable``'s hidden
+    bucket partitioning, for the general star-schema case: at 100 TB you
+    bucket fact tables on their join keys (e.g. orders and lineitem on
+    orderkey) so the recurring nightly joins never reshuffle the big side.
+    ``tests/test_plans.py::test_bucketed_join_no_exchange`` pins the plan.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )

@@ -88,3 +88,65 @@ def test_aligned_write_bounded_files_per_bucket(spark, tmp_path):
 def test_salted_runner_matches_oracle(spark, tmp_path):
     log = _gen(tmp_path, "skew_hot")
     run_and_compare(spark, log, str(tmp_path / "t_salt"), salted=True, n_salts=4)
+
+
+def test_nested_assemble_plan_shape(spark):
+    """The nested assembly must cost ONE data shuffle (the groupBy hash
+    exchange; the trailing range exchange is the deterministic orderBy) with
+    map-side partial collect_list and a column-pruned scan."""
+    from biomedica_etl_spark.operators.nested import nested_assemble
+
+    plan = _physical(nested_assemble(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_collect_list" in plan, plan
+    # column pruning reached the scan: props/event_type... only the four
+    # needed columns are read
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint," \
+           "event_type:string,value:double>" in plan, plan
+
+
+def test_pandas_normalize_is_arrow_not_row_python(spark):
+    """§2.9: the scalar pandas UDF must plan as ArrowEvalPython (vectorized
+    Arrow batches), never BatchEvalPython (row-at-a-time pickling)."""
+    from biomedica_etl_spark.functions.text import pandas_normalize_text
+
+    plan = _physical(pandas_normalize_text(spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed+sorted on the key join with
+    ZERO exchanges and zero sorts — the write-once-shuffle-never pattern
+    big fact-fact joins rely on at scale."""
+    from biomedica_etl_spark.sources import tbl
+    from biomedica_etl_spark.sources.sink import write_bucketed
+
+    o = tbl(spark, "/root/testdata/sf0.001", "orders")
+    li = tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    # at sf0.001 both sides fit the broadcast threshold and Spark rightly
+    # prefers BHJ; disable it so the plan exercises the SMJ path the
+    # bucketing exists for (at 100 TB neither fact side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders",
+                       str(tmp_path / "bo"), ["o_orderkey"], 8)
+        write_bucketed(
+            li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "b_lineitem", str(tmp_path / "bl"), ["o_orderkey"], 8)
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+                                              "o_orderkey")
+        plan = _physical(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the result is right
+        assert joined.count() == li.count()
+        # a follow-on aggregation on the bucket key also skips the exchange
+        agg = spark.table("b_orders").groupBy("o_orderkey").agg(
+            F.sum("o_totalprice").alias("s"))
+        assert "Exchange" not in _physical(agg), _physical(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
