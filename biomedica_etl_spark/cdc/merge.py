@@ -484,11 +484,18 @@ def mor_apply_batch(
 
 def compact(
     spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
-    max_records_per_file: int = 0,
+    max_records_per_file: int = 0, buckets: list[int] | None = None,
 ) -> dict[str, Any] | None:
-    """Fold all merge-on-read delta layers into the base (COW rewrite of
+    """Fold merge-on-read delta layers into the base (COW rewrite of the
     buckets that have layers). Tombstones are retained — an out-of-order
     batch with a lower lsn must still lose to a compacted delete.
+
+    ``buckets=None`` compacts every bucket that has layers; an explicit
+    list compacts only those (PARTIAL compaction — the Iceberg/Delta
+    bin-pack discipline: when ingest skew concentrates layers on a few hot
+    buckets, maintenance rewrites only them and the cold buckets' bytes
+    are never touched; the runner compacts exactly the buckets at the
+    layer threshold).
 
     Same single-shuffle aligned plan as the merge: stored rows (base +
     layers) are re-expressed as events and LWW-reduced straight into the
@@ -497,7 +504,11 @@ def compact(
     snap = table.current_snapshot()
     if not snap or not snap.get("delta_dirs"):
         return None
-    buckets = sorted(int(b) for b in snap["delta_dirs"])
+    layered = sorted(int(b) for b in snap["delta_dirs"])
+    buckets = layered if buckets is None else sorted(
+        set(buckets) & set(layered))
+    if not buckets:
+        return None
     stored = table.read_stored_files(spark, buckets=buckets)
     as_events = _base_as_changes(stored, table.n_buckets)
     resolved = _to_stored(

@@ -175,7 +175,8 @@ class CdcRunner:
                 max_records_per_file=self.max_records_per_file,
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
-                compact(self.spark, self.table)
+                compact(self.spark, self.table,
+                        buckets=self._buckets_at_threshold())
             if snap is None:
                 result.batches_skipped.append(batch_id)
             else:
@@ -229,7 +230,8 @@ class CdcRunner:
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
             if self.table.max_delta_layers() >= self.compact_every:
-                compact(self.spark, self.table)
+                compact(self.spark, self.table,
+                        buckets=self._buckets_at_threshold())
 
         with ThreadPoolExecutor(
             max_workers=self.pipeline_depth, thread_name_prefix="mor-stage"
@@ -241,6 +243,16 @@ class CdcRunner:
                     _commit_head(window)
             while window:
                 _commit_head(window)
+
+    def _buckets_at_threshold(self) -> list[int]:
+        """Partial-compaction target set: only buckets whose layer count
+        reached compact_every are rewritten; cold buckets keep their (few)
+        layers and pay nothing — the bin-pack maintenance discipline."""
+        snap = self.table.current_snapshot() or {}
+        return sorted(
+            int(b) for b, ds in snap.get("delta_dirs", {}).items()
+            if len(ds) >= self.compact_every
+        )
 
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""

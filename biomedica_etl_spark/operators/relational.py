@@ -367,6 +367,44 @@ FROM events GROUP BY 1 ORDER BY window_start
 """
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window``: per-user event-time sessions with
+    a 30-minute inactivity gap (batch twin of the streaming
+    ``stream_sessionize`` stateful operator). The session assignment is a
+    single shuffle on (user_id); the oracle re-derives sessions with the
+    classic gaps-and-islands SQL (lag + running sum of breaks)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.max("ts").alias("last_ts"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "last_ts")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+grouped AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, max(ts) AS last_ts
+FROM grouped GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # --- TPC-H-style headline queries --------------------------------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy agg; decimal sums for exactness. The
@@ -514,6 +552,7 @@ QUERIES: dict[str, tuple] = {
     "union_all_evolved": (union_all_evolved, UNION_EVOLVED_SQL),
     "topk_per_group": (topk_per_group, TOPK_SQL),
     "tumbling_window_counts": (tumbling_window_counts, TUMBLING_SQL),
+    "session_window_agg": (session_window_agg, SESSION_WINDOW_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "enrich_left_coalesce": (enrich_left_coalesce, ENRICH_LEFT_SQL),

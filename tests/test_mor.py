@@ -58,3 +58,53 @@ def test_mixed_mode_resume(spark, tmp_path):
     second.run()
     actual = [r.asDict() for r in second.final_state().collect()]
     assert actual == replay(log)
+
+
+def test_partial_compaction_touches_only_hot_buckets(spark, tmp_path):
+    """Bin-pack maintenance: compact(buckets=[hot]) folds only those
+    buckets' layers; cold buckets' layers and bytes are untouched and the
+    resolved table state is identical before/after."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from biomedica_etl_spark.cdc.merge import compact, mor_apply_batch
+    from biomedica_etl_spark.cdc.schema import target_change_schema
+    from biomedica_etl_spark.cdc.table import CowTable
+    from biomedica_etl_spark.cdc.xxhash import bucket_of
+
+    t = CowTable(str(tmp_path / "t"), n_buckets=4)
+    t.create()
+    TS = datetime.datetime(2025, 1, 1)
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in target_change_schema()]
+    )
+    # find conv ids in two different buckets
+    convs = {}
+    i = 0
+    while len(convs) < 2:
+        b = bucket_of(f"conv-{i:06d}", 4)
+        convs.setdefault(b, f"conv-{i:06d}")
+        i += 1
+    (hot_b, hot), (cold_b, cold) = sorted(convs.items())
+    lsn = 0
+    for batch in range(3):  # hot conv gets a layer every batch
+        rows = [(lsn + j, "I", hot, j, "user", f"h{batch}-{j}", None, TS)
+                for j in range(5)]
+        if batch == 0:  # cold conv only once
+            rows += [(lsn + 10 + j, "I", cold, j, "user", f"c{j}", None, TS)
+                     for j in range(5)]
+        lsn += 100
+        mor_apply_batch(spark, t, spark.createDataFrame(rows, schema), batch)
+    before = [r.asDict() for r in t.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    snap = t.current_snapshot()
+    assert len(snap["delta_dirs"][str(hot_b)]) == 3
+    cold_layers_before = list(snap["delta_dirs"][str(cold_b)])
+
+    compact(spark, t, buckets=[hot_b])
+    snap2 = t.current_snapshot()
+    # hot bucket folded into base; cold bucket's layers untouched
+    assert str(hot_b) not in snap2["delta_dirs"]
+    assert snap2["delta_dirs"][str(cold_b)] == cold_layers_before
+    after = [r.asDict() for r in t.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert after == before
