@@ -364,6 +364,51 @@ class CowTable:
             .orderBy("turn_idx")
         )
 
+    def read_changes_since(
+        self, spark: SparkSession, snapshot_id: int
+    ) -> DataFrame:
+        """Incremental (CDC-out) read: the stored rows committed AFTER
+        ``snapshot_id`` — upserts and tombstones with their ``_lsn``, i.e.
+        a change feed a downstream pipeline can apply with the same LWW
+        reducer. This is the Iceberg incremental-scan / Delta CDF
+        discipline: each MOR commit's delta layers are the change set, so
+        the read is O(changes), never a table diff.
+
+        Works across MOR commits (append-delta) and quarantine-only/empty
+        commits (no dirs → no rows). A COW rewrite or compaction between
+        ``snapshot_id`` and now rewrites history in place; those commits
+        cannot be served incrementally and raise — the consumer resyncs
+        from a full scan (the same contract real lakehouses document).
+        """
+        self._load_all()
+        if self.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"unknown snapshot_id {snapshot_id}")
+        files: list[str] = []
+        for s in (self._snaps_cache or []):
+            if s["snapshot_id"] <= snapshot_id:
+                continue
+            parent = self.snapshot_by_id(s["parent_id"]) or {}
+            if s["bucket_dirs"] != parent.get("bucket_dirs", {}):
+                # base files changed: COW merge or compaction rewrote
+                # history in place — this commit has no separable change set
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} rewrote base files "
+                    f"({s.get('summary', {}).get('commit_type', 'cow')}): "
+                    "incremental read across it is impossible — resync "
+                    "from a full scan"
+                )
+            parent_dirs = {
+                d for ds in parent.get("delta_dirs", {}).values() for d in ds
+            }
+            for ds in s.get("delta_dirs", {}).values():
+                for d in ds:
+                    if d not in parent_dirs:
+                        files.extend(sorted(glob.glob(
+                            os.path.join(self.root, d, "*.parquet"))))
+        if not files:
+            return spark.createDataFrame([], stored_schema())
+        return spark.read.schema(stored_schema()).parquet(*files)
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` manifests, then delete data dirs no retained snapshot

@@ -294,3 +294,47 @@ def test_jaccard_posting_list_cap_drops_hot_shingles(spark, tmp_path):
     # uncapped: identical docs -> jaccard 1.0 -> C(100,2) pairs (the blowup
     # the cap exists to prevent)
     assert ngram_jaccard_pairs(spark, str(sf), max_df=1000).count() == 4950
+
+
+def test_pipelined_crash_leaves_only_unreferenced_staging(spark, tmp_path):
+    """Crash model under pipelining: a batch STAGED but never committed
+    (crash between the wide job and the snapshot rename) leaves only an
+    unreferenced dir; a restarted runner re-derives pending work, re-stages
+    and commits it, and the final state matches the oracle."""
+    from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+    from biomedica_etl_spark.cdc.merge import mor_stage_batch
+    from biomedica_etl_spark.cdc.oracle import replay
+    from biomedica_etl_spark.cdc.runner import CdcRunner, read_batch
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  pipeline_depth=2)
+    r.run(max_batches=1)
+    # simulate the crash: batch 1's stage write completed, commit never ran
+    from biomedica_etl_spark.cdc.checkpoint import planned_batches
+
+    schema_of = dict(planned_batches(log))
+    changes = read_batch(spark, log, 1, schema_of[1], r.registry)
+    staged = mor_stage_batch(spark, r.table, changes, 1)
+    assert staged is not None and staged["written"]
+
+    # a fresh runner (new process) still sees batch 1 pending and applies
+    # EVERYTHING exactly once; the orphaned staging dir is never referenced
+    r2 = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                   pipeline_depth=2)
+    assert r2.pending()[0] == 1
+    r2.run()
+    actual = [x.asDict() for x in r2.final_state().collect()]
+    assert actual == replay(log)
+    referenced = set()
+    for s in r2.table.snapshots():
+        for ds in s.get("delta_dirs", {}).values():
+            referenced.update(os.path.dirname(d) for d in ds)
+        referenced.update(os.path.dirname(d) if "=" in os.path.basename(d)
+                          else d for d in s.get("bucket_dirs", {}).values())
+    orphan = os.path.relpath(staged["stage"], str(tmp_path / "t"))
+    assert orphan not in referenced
+    # and maintenance reclaims it: expire keeps only live dirs
+    r2.table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(staged["stage"])

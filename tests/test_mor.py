@@ -108,3 +108,57 @@ def test_partial_compaction_touches_only_hot_buckets(spark, tmp_path):
     assert snap2["delta_dirs"][str(cold_b)] == cold_layers_before
     after = [r.asDict() for r in t.read(spark).orderBy("conv_id", "turn_idx").collect()]
     assert after == before
+
+
+def test_read_changes_since_chains_downstream(spark, tmp_path):
+    """CDC-out: the incremental change feed from snapshot K replayed onto a
+    copy of the table AT snapshot K reproduces the current state — so a
+    downstream pipeline can consume the table as a change source. After
+    compaction rewrites history, the incremental read refuses (resync
+    contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+    from biomedica_etl_spark.cdc.merge import compact, mor_apply_batch
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.schema import SYS_DELETED, SYS_LSN
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    up = CdcRunner(spark, log, str(tmp_path / "up"), n_buckets=8, mode="mor",
+                   compact_every=10_000)
+    up.run(max_batches=2)
+    mid = up.table.current_snapshot()["snapshot_id"]
+    up.run()  # the rest of the log
+
+    def as_changes(stored):
+        return stored.select(
+            F.col(SYS_LSN).alias("lsn"),
+            F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "D")
+            .otherwise("I").alias("op"),
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        )
+
+    # downstream: seed with the table AS OF mid, then apply only the feed
+    down = CowTable(str(tmp_path / "down"), n_buckets=8)
+    down.create()
+    seed = as_changes(up.table.read_raw(spark, snapshot_id=mid))
+    mor_apply_batch(spark, down, seed, batch_id=0)
+    feed = as_changes(up.table.read_changes_since(spark, mid))
+    assert feed.count() > 0
+    mor_apply_batch(spark, down, feed, batch_id=1)
+
+    a = [r.asDict() for r in
+         up.table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    b = [r.asDict() for r in
+         down.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert a == b
+    # compaction rewrites history -> incremental read across it refuses
+    compact(spark, up.table)
+    with pytest.raises(ValueError, match="resync"):
+        up.table.read_changes_since(spark, mid)
+    # but a fresh cursor AFTER the rewrite works again
+    post = up.table.current_snapshot()["snapshot_id"]
+    assert up.table.read_changes_since(spark, post).count() == 0
