@@ -21,9 +21,11 @@ from biomedica_etl_spark.operators import dedup as _dedup
 from biomedica_etl_spark.operators import multimodal as _multimodal
 from biomedica_etl_spark.operators import nested as _nested
 from biomedica_etl_spark.operators import relational as _relational
+from biomedica_etl_spark.operators import sampling as _sampling
 from biomedica_etl_spark.operators import similarity as _similarity
 
-_ALL_MODULES = (_relational, _text, _dedup, _similarity, _multimodal, _nested)
+_ALL_MODULES = (_relational, _text, _dedup, _similarity, _multimodal,
+                _nested, _sampling)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,103 @@
+"""Deterministic, hash-based sampling and split assignment over ``documents``.
+
+The curation ops every training-data pipeline needs, done the only way that
+is reproducible at 100 TB: membership is a PURE FUNCTION of the record key
+(a seeded md5 bucket), so the same doc lands in the same split on every
+run, on any cluster size, with no shuffling, no RNG state, and no driver
+coordination — resharding or re-running the pipeline can never leak val
+docs into train. (``df.sample``/``rand()`` are partition-order dependent
+and thus unusable for split assignment; the reference's analogue is the
+stable batch membership its contiguous-range batching gives each article,
+``src/pmc_oa/download_batch.py:320-369``.)
+
+Both engines compute the identical bucket: Spark
+``conv(substring(md5(...),1,8),16,10) % 100`` and DuckDB
+``('0x' || substr(md5(...),1,8))::BIGINT % 100`` parse the same 32-bit hex
+slice. Everything is a map-side projection — zero shuffles except the
+deterministic orderBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tbl
+
+
+def hash_bucket_col(key: Column, seed: str, n_buckets: int = 100) -> Column:
+    """Seeded deterministic bucket in [0, n_buckets): md5-based so every
+    engine agrees; different seeds give independent assignments."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), key)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % n_buckets).cast("int")
+
+
+def _bucket_sql(key_sql: str, seed: str, n_buckets: int = 100) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{seed}|' || {key_sql}), 1, 8) "
+        f"AS BIGINT) % {n_buckets} AS INT)"
+    )
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment: 80/10/10 by seeded hash bucket."""
+    d = tbl(spark, sf_dir, "documents")
+    b = hash_bucket_col(F.col("doc_id").cast("string"), "split")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", b.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} AS bucket,
+       CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} < 80
+              THEN 'train'
+            WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: different keep-rates per
+    language (the upsample-rare-strata move), independent of the split
+    hash by seed. Output is the kept docs with their stratum rate."""
+    d = tbl(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 10)       # downsample the head
+        .when(F.col("lang") == "es", 50)
+        .otherwise(90)                          # keep nearly all of the tail
+    )
+    b = hash_bucket_col(F.col("doc_id").cast("string"), "sample")
+    return (
+        d.select("doc_id", "lang", rate.alias("keep_pct"), b.alias("bucket"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 10
+              WHEN lang = 'es' THEN 50
+              ELSE 90 END AS keep_pct,
+         {_bucket_sql("CAST(doc_id AS VARCHAR)", "sample")} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, keep_pct, bucket FROM t
+WHERE bucket < keep_pct ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+}
