@@ -144,7 +144,118 @@ SELECT * FROM f ORDER BY doc_id, frame_idx
 """
 
 
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, out_w int, out_h int, "
+                 "thumb_hash string")
+_TARGET = 224
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: aspect-preserving thumbnail resize (the
+    reference's ``hash_image`` PIL thumbnail step,
+    ``src/pmc_oa/build_json.py:936-985``). Dims come from the stub decode;
+    the scale math is pure integer floor division so every engine agrees;
+    the resample itself is stubbed as an md5 over (payload head, out dims)
+    — swap for ``Image.thumbnail`` when PIL exists. Vectorized pandas ops,
+    payload never leaves the Arrow batch."""
+    import hashlib
+
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        meta = _decode_stub(n_bytes)
+        w = meta["width"].astype("int64")
+        h = meta["height"].astype("int64")
+        # fit the LONG side to _TARGET: scale = TARGET / max(w, h)
+        long_side = pd.concat([w, h], axis=1).max(axis=1)
+        out_w = (w * _TARGET) // long_side
+        out_h = (h * _TARGET) // long_side
+        thumb = [
+            hashlib.md5(
+                (p[:64] + f"{ow}x{oh}").encode("utf-8")
+            ).hexdigest()
+            for p, ow, oh in zip(pdf["payload"].map(
+                lambda b: b.decode("utf-8")), out_w, out_h)
+        ]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "width": w.astype("int32"),
+            "height": h.astype("int32"),
+            "out_w": out_w.astype("int32"),
+            "out_h": out_h.astype("int32"),
+            "thumb_hash": thumb,
+        })
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> stub decode -> aspect-preserving resize metadata."""
+    d = tbl(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(resize_batch, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS w,
+         CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST((w * {_TARGET}) // greatest(w, h) AS INTEGER) AS out_w,
+       CAST((h * {_TARGET}) // greatest(w, h) AS INTEGER) AS out_h,
+       md5(substring(text, 1, 64)
+           || CAST((w * {_TARGET}) // greatest(w, h) AS VARCHAR) || 'x'
+           || CAST((h * {_TARGET}) // greatest(w, h) AS VARCHAR)) AS thumb_hash
+FROM m ORDER BY doc_id
+"""
+
+
+EMBED_SCHEMA = ("doc_id bigint, f0 double, f1 double, f2 double, f3 double")
+
+
+def embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: feature-extraction stub — a deterministic
+    4-dim embedding from md5 slices of the payload (swap for a real
+    vision/audio encoder; the Arrow batch shape and output schema are what
+    a GPU-backed encoder stage would keep). Values are 32-bit hash slices
+    scaled to [0, 1) with an exact power-of-two divisor, so both engines
+    produce bit-identical doubles."""
+    import hashlib
+
+    for pdf in batches:
+        feats: dict[str, list] = {"doc_id": [], "f0": [], "f1": [],
+                                  "f2": [], "f3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            hx = hashlib.md5(payload).hexdigest()
+            feats["doc_id"].append(int(doc_id))
+            for k in range(4):
+                feats[f"f{k}"].append(
+                    int(hx[8 * k: 8 * k + 8], 16) / 4294967296.0
+                )
+        yield pd.DataFrame(feats)
+
+
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> stub feature extraction (fixed-dim embedding)."""
+    d = tbl(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(embed_batch, EMBED_SCHEMA).orderBy("doc_id")
+
+
+_EMBED_F_SQL = ", ".join(
+    f"CAST('0x' || substr(md5(text), {8 * k + 1}, 8) AS BIGINT)"
+    f" / 4294967296.0 AS f{k}"
+    for k in range(4)
+)
+MULTIMODAL_EMBED_SQL = f"""
+SELECT doc_id, {_EMBED_F_SQL}
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_embed": (multimodal_embed, MULTIMODAL_EMBED_SQL),
 }
