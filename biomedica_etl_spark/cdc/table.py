@@ -409,6 +409,46 @@ class CowTable:
             return spark.createDataFrame([], stored_schema())
         return spark.read.schema(stored_schema()).parquet(*files)
 
+    def diff(
+        self, spark: SparkSession, from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Time-travel diff: per-key net change between two snapshots.
+
+        Unlike ``read_changes_since`` (the raw change FEED, MOR-only and
+        O(changes)), this is the semantic table comparison — it works
+        across ANY pair of retained snapshots including COW rewrites and
+        compactions, at the cost of scanning both versions. Output:
+        ``(conv_id, turn_idx, change_type in insert|update|delete,
+        old_lsn, new_lsn)``; keys whose winning version is unchanged are
+        absent. The join is key-equi on the table key (bucket-prunable on
+        both sides at scale) and a no-op key never survives the filter.
+        """
+        a = self.read_raw(spark, snapshot_id=from_snapshot).select(
+            "conv_id", "turn_idx",
+            F.col(SYS_LSN).alias("old_lsn"),
+            (~F.coalesce(F.col(SYS_DELETED), F.lit(False))).alias("a_live"),
+        )
+        b = self.read_raw(spark, snapshot_id=to_snapshot).select(
+            "conv_id", "turn_idx",
+            F.col(SYS_LSN).alias("new_lsn"),
+            (~F.coalesce(F.col(SYS_DELETED), F.lit(False))).alias("b_live"),
+        )
+        j = a.join(b, on=["conv_id", "turn_idx"], how="full_outer")
+        a_live = F.coalesce(F.col("a_live"), F.lit(False))
+        b_live = F.coalesce(F.col("b_live"), F.lit(False))
+        change = (
+            F.when(~a_live & b_live, "insert")
+            .when(a_live & ~b_live, "delete")
+            .when(a_live & b_live
+                  & (F.col("new_lsn") != F.col("old_lsn")), "update")
+        )
+        return (
+            j.select("conv_id", "turn_idx", change.alias("change_type"),
+                     "old_lsn", "new_lsn")
+            .filter(F.col("change_type").isNotNull())
+        )
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` manifests, then delete data dirs no retained snapshot

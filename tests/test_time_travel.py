@@ -64,3 +64,46 @@ def test_read_conversation_prunes_to_one_bucket(spark, tmp_path):
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     buckets_touched = {f.split("_bucket=")[1].split("/")[0] for f in files if "_bucket=" in f}
     assert len(buckets_touched) <= 1
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """table.diff(a, b): net insert/update/delete per key between any two
+    retained snapshots — works across COW rewrites (unlike the MOR-only
+    change feed), unchanged keys absent."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from biomedica_etl_spark.cdc.merge import compact, merge_batch, mor_apply_batch
+    from biomedica_etl_spark.cdc.schema import target_change_schema
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    t = CowTable(str(tmp_path / "t"), n_buckets=4)
+    t.create()
+    TS = datetime.datetime(2025, 1, 1)
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in target_change_schema()]
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [(l, o, c, tt, "user", f"x{l}", None, TS) for (l, o, c, tt) in rows],
+            schema)
+
+    merge_batch(spark, t, chg([(0, "I", "A", 0), (1, "I", "B", 0),
+                               (2, "I", "K", 0)]), batch_id=0)
+    base_snap = t.current_snapshot()["snapshot_id"]
+    # update A, delete B, insert C via a MOR layer, then COMPACT (a COW
+    # rewrite) — the diff must still work across it
+    mor_apply_batch(spark, t, chg([(10, "U", "A", 0), (11, "D", "B", 0),
+                                   (12, "I", "C", 0)]), batch_id=1)
+    compact(spark, t)
+    d = {(r["conv_id"], r["turn_idx"]): (r["change_type"], r["old_lsn"], r["new_lsn"])
+         for r in t.diff(spark, base_snap).collect()}
+    assert d == {
+        ("A", 0): ("update", 0, 10),
+        ("B", 0): ("delete", 1, 11),
+        ("C", 0): ("insert", None, 12),
+    }  # K unchanged -> absent
+    # identical snapshots diff to empty
+    assert t.diff(spark, base_snap, base_snap).count() == 0
