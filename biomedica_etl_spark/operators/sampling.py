@@ -97,7 +97,99 @@ WHERE bucket < keep_pct ORDER BY doc_id
 """
 
 
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE split assignment: hash the near-dup CLUSTER id, not the
+    doc id, so every member of a duplicate group lands in the same split —
+    the step that prevents train/test contamination via near-duplicates
+    (hashing doc ids would scatter a duplicate pair across splits ~36% of
+    the time at 80/10/10). Docs outside any candidate pair cluster alone.
+    """
+    from .dedup import dedup_connected_components
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_connected_components(spark, sf_dir)
+    withc = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    b = hash_bucket_col(F.col("cluster_id").cast("string"), "split")
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return withc.select(
+        "doc_id", "cluster_id", split.alias("split")
+    ).orderBy("doc_id")
+
+
+# the cluster derivation is the same recursive closure the dedup_clusters
+# oracle uses; imported lazily to avoid a circular module constant
+def _split_by_cluster_sql() -> str:
+    from .dedup import DEDUP_CC_SQL
+
+    key = "CAST(cluster_id AS VARCHAR)"
+    return f"""
+WITH clusters AS (SELECT * FROM ({DEDUP_CC_SQL}) c),
+withc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_bucket_sql(key, "split")} < 80 THEN 'train'
+            WHEN {_bucket_sql(key, "split")} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM withc ORDER BY doc_id
+"""
+
+
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (O4 contiguous-range batching generalized):
+    docs in stable key order are cut into shards of <= ~20k whitespace
+    tokens by a running-sum window — the serialize-into-bounded-shards
+    step of a training-data pipeline (the reference sizes tar shards by
+    sample count, ``scripts/06_serilaize_to_webdataset_parallel.py:214``;
+    token budgets are the LLM-era version). The global ordered window is
+    a range-partitioned sort at scale; shard id = floor(cumsum/budget) of
+    the PRECEDING docs so no shard exceeds budget + one document."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count_col
+
+    budget = 20_000
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id", "n_tokens",
+        (prior + F.col("n_tokens")).alias("cum_tokens"),
+        F.floor(prior / budget).cast("int").alias("shard_id"),
+    ).orderBy("doc_id")
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior
+  FROM t
+)
+SELECT doc_id, n_tokens, prior + n_tokens AS cum_tokens,
+       CAST(prior // 20000 AS INT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "split_by_cluster": (split_by_cluster, _split_by_cluster_sql()),
+    "token_budget_shards": (token_budget_shards, TOKEN_BUDGET_SQL),
 }
