@@ -497,6 +497,30 @@ FROM reach GROUP BY u ORDER BY doc_id
 """
 
 
+def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end-cap: candidate pairs -> connected components -> keep
+    the min-id doc per duplicate group -> the surviving corpus. Non-keeper
+    cluster members drop via a broadcast-able anti-join (the drop list is
+    O(duplicates), tiny relative to the corpus)."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = dedup_connected_components(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLEANED_SQL = f"""
+WITH cc AS (SELECT * FROM ({DEDUP_CC_SQL}) c)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+ANTI JOIN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id) x
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -504,5 +528,6 @@ QUERIES: dict[str, tuple] = {
     "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),
     "minhash_lsh_full": (minhash_lsh_candidates_full, MINHASH_LSH_FULL_SQL),
     "dedup_clusters": (dedup_connected_components, DEDUP_CC_SQL),
+    "dedup_cleaned_corpus": (dedup_cleaned_corpus, DEDUP_CLEANED_SQL),
     "simhash_16": (simhash_16, SIMHASH_SQL),
 }
