@@ -130,9 +130,74 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-3: queries (vec_id % 50 = 0) probe their
+    own bucket PLUS every Hamming-distance-1 bucket (flip one of the 8
+    sign bits) — the standard recall fix for boundary vectors whose
+    near-neighbors landed one bit away. Corpus stays single-bucket; only
+    the tiny query side fans out x9, so the join stays key-equi and the
+    shuffle stays linear in corpus rows."""
+    from pyspark.sql import Window
+
+    e = _vecs(spark, sf_dir)
+    bucket = None
+    for i in range(_N_PLANES):
+        bit = F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket.cast("int"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+    )
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("norm").alias("qnorm"),
+                F.explode(probes).alias("bucket"))
+    )
+    cand = e.select("bucket", F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("norm").alias("nnorm"))
+    pairs = q.join(cand, ["bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nnorm")), 6
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .orderBy("query_id", "rank")
+    )
+
+
 _BUCKET_SQL = " + ".join(
     f"CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(_N_PLANES)
 )
+ANN_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+             CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM e),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, p.bucket
+  FROM n, UNNEST([n.bucket,
+                  {", ".join(f"xor(n.bucket, {1 << i})" for i in range(_N_PLANES))}
+                 ]) AS p(bucket)
+  WHERE vec_id % 50 = 0
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.v) / (q.qnorm * c.norm), 6) AS cosine
+  FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
 ANN_LSH_SQL = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -252,6 +317,7 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_near_dup": (embedding_near_dup, NEAR_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_lsh_multiprobe": (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL),
     "ann_ivf_coarse": (ann_ivf_coarse, ANN_IVF_SQL),
     "ann_ivf_nprobe2": (ann_ivf_nprobe2, ANN_IVF_NPROBE2_SQL),
 }
