@@ -19,13 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from biomedica_etl_spark.functions import text as _text
 from biomedica_etl_spark.operators import dedup as _dedup
 from biomedica_etl_spark.operators import multimodal as _multimodal
+from biomedica_etl_spark.operators import clustering as _clustering
 from biomedica_etl_spark.operators import nested as _nested
 from biomedica_etl_spark.operators import relational as _relational
 from biomedica_etl_spark.operators import sampling as _sampling
 from biomedica_etl_spark.operators import similarity as _similarity
 
 _ALL_MODULES = (_relational, _text, _dedup, _similarity, _multimodal,
-                _nested, _sampling)
+                _nested, _sampling, _clustering)
 
 
 def entry(spark: SparkSession) -> DataFrame:
