@@ -1,1 +1,5 @@
-from .stream_runner import stream_apply  # noqa: F401
+from .stream_runner import (  # noqa: F401
+    stream_apply,
+    stream_sessionize,
+    stream_windowed_counts,
+)
