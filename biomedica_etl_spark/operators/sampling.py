@@ -187,9 +187,48 @@ FROM c ORDER BY doc_id
 """
 
 
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample (the fixed-size eval-set
+    cut): rank docs within each language by a seeded hash (ties impossible
+    on the full 16-byte digest) and keep the first 20. Rate-based sampling
+    gives a BINOMIAL count per stratum; eval sets need an exact count, and
+    hash-rank order is stable under re-runs and data re-partitioning.
+    The per-stratum sort is a windowed rank — at corpus scale a top-k
+    aggregate per stratum (no global sort)."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("evalset|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("h"))
+    return (
+        d.select("doc_id", "lang", hx.alias("h"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "lang", F.col("rank").cast("int").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+FIXED_SIZE_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5('evalset|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+  FROM h
+)
+SELECT doc_id, lang, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20 ORDER BY lang, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "split_by_cluster": (split_by_cluster, _split_by_cluster_sql()),
     "token_budget_shards": (token_budget_shards, TOKEN_BUDGET_SQL),
+    "fixed_size_sample": (fixed_size_sample, FIXED_SIZE_SAMPLE_SQL),
 }
