@@ -376,6 +376,47 @@ FROM t ORDER BY doc_id
 """
 
 
+# ------------------------------------------- key decomposition (F13)
+def key_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: decompose a composite '-'-joined record key into its parts and
+    re-join a slice (the reference splits tar member keys into batch /
+    pmid / position / soft_id and re-joins the tail,
+    ``scripts/06_serilaize_to_webdataset_parallel.py:133-137``). The key is
+    BUILT deterministically here so both engines decompose identical
+    strings; split / element_at / slice / array_join all stay JVM-side."""
+    d = tbl(spark, sf_dir, "documents")
+    key = F.concat_ws(
+        "-", F.col("source"), F.col("doc_id").cast("string"),
+        F.col("lang"), F.concat(F.lit("p"), F.col("n_chars").cast("string")),
+    )
+    parts = F.split(key, "-")
+    return d.select(
+        "doc_id",
+        key.alias("key"),
+        F.element_at(parts, 1).alias("batch_part"),
+        F.element_at(parts, 2).cast("bigint").alias("id_part"),
+        F.array_join(F.slice(parts, 3, 2), "-").alias("soft_id"),
+        F.size(parts).cast("int").alias("n_parts"),
+    ).orderBy("doc_id")
+
+
+KEY_DECOMPOSE_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         source || '-' || CAST(doc_id AS VARCHAR) || '-' || lang
+           || '-p' || CAST(n_chars AS VARCHAR) AS key
+  FROM documents
+),
+p AS (SELECT doc_id, key, string_split(key, '-') AS parts FROM k)
+SELECT doc_id, key,
+       parts[1] AS batch_part,
+       CAST(parts[2] AS BIGINT) AS id_part,
+       array_to_string(parts[3:4], '-') AS soft_id,
+       CAST(len(parts) AS INT) AS n_parts
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "scalar_extracts": (scalar_extracts, SCALAR_EXTRACTS_SQL),
     "date_parts": (date_parts, DATE_PARTS_SQL),
@@ -386,4 +427,5 @@ QUERIES: dict[str, tuple] = {
     "pandas_normalize_text": (pandas_normalize_text, PANDAS_NORMALIZE_SQL),
     "citation_date_parse": (citation_date_parse, CITATION_DATE_SQL),
     "token_filter_split": (token_filter_split, TOKEN_FILTER_SPLIT_SQL),
+    "key_decompose": (key_decompose, KEY_DECOMPOSE_SQL),
 }
