@@ -367,6 +367,94 @@ FROM events GROUP BY 1 ORDER BY window_start
 """
 
 
+def asof_join_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (point-in-time) join — the operator Spark lacks natively,
+    expressed as a composition: every event joins the MOST RECENT error
+    event of the same user at-or-before its timestamp (dimension-version
+    semantics: 'what was the state when this happened'). Plan: tag + union
+    both sides, ONE shuffle on the key, and a running ``last(...,
+    ignorenulls)`` over (ts asc, version-first) carries the newest version
+    forward — no range join, no per-key Python, cost identical to a
+    windowed aggregation. The oracle is DuckDB's NATIVE ``ASOF LEFT
+    JOIN``, so the composition is checked against a first-class
+    implementation of the semantics."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("vv"),
+        F.lit(None).cast("timestamp").alias("vt"),
+        F.lit(0).alias("is_v"),
+    )
+    vs = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("vv"),
+        F.col("ts").alias("vt"),
+        F.lit(1).alias("is_v"),
+    )
+    u = ev.unionByName(vs)
+    # version rows sort BEFORE the event at an equal timestamp, so the
+    # match is inclusive (ts >= vts) like DuckDB's ASOF
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("err_value", F.last("vv", ignorenulls=True).over(w))
+        .withColumn("vts", F.last("vt", ignorenulls=True).over(w))
+        .filter("is_v = 0")
+        .select("event_id", "user_id", "vts", "err_value")
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS vts, value AS err_value
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, v.vts, v.err_value
+FROM events e ASOF LEFT JOIN v
+  ON e.user_id = v.user_id AND e.ts >= v.vts
+ORDER BY e.event_id
+"""
+
+
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events land in value bands via an inequality
+    join against a broadcast ranges table — the right physical strategy
+    when the interval side is small (BroadcastNestedLoopJoin over k bands,
+    no shuffle of the fact side; with a large interval side you'd bin both
+    sides to equi-join keys first)."""
+    bands = spark.createDataFrame(
+        [(0, "low", 0.0, 10.0), (1, "mid", 10.0, 100.0),
+         (2, "high", 100.0, 1e18)],
+        "band_id int, band string, lo double, hi double",
+    )
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.join(F.broadcast(bands),
+               (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
+               "left")
+        .select("event_id", "value", "band_id", "band")
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH bands(band_id, band, lo, hi) AS (
+  VALUES (0, 'low', 0.0, 10.0), (1, 'mid', 10.0, 100.0),
+         (2, 'high', 100.0, 1e18)
+)
+SELECT e.event_id, e.value, b.band_id, b.band
+FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+ORDER BY e.event_id
+"""
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native ``session_window``: per-user event-time sessions with
     a 30-minute inactivity gap (batch twin of the streaming
@@ -553,6 +641,8 @@ QUERIES: dict[str, tuple] = {
     "topk_per_group": (topk_per_group, TOPK_SQL),
     "tumbling_window_counts": (tumbling_window_counts, TUMBLING_SQL),
     "session_window_agg": (session_window_agg, SESSION_WINDOW_SQL),
+    "asof_join_latest_version": (asof_join_latest_version, ASOF_JOIN_SQL),
+    "range_join_value_bands": (range_join_value_bands, RANGE_JOIN_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "enrich_left_coalesce": (enrich_left_coalesce, ENRICH_LEFT_SQL),
