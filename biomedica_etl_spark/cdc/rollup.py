@@ -1,0 +1,120 @@
+"""Continuous aggregate (hypertable-rollup-style) maintenance.
+
+A rollup table (per-conversation live-turn counts) kept in sync with the
+transcripts table INCREMENTALLY: each refresh scans only the semantic diff
+since the last-applied snapshot (``CowTable.diff`` — O(two version scans
+of affected keys), never a full re-aggregation), folds the per-key deltas
+into the previous rollup state, and advances a cursor. This is the
+TimescaleDB continuous-aggregate / Materialize-maintained-view discipline
+expressed on the engine's own snapshot metadata:
+
+- counts are RETRACTABLE aggregates (insert +1, delete -1, update 0), so
+  deletes need no rescan; non-retractable aggregates (max ts) would need
+  per-key recompute on delete and are deliberately excluded;
+- the refresh is idempotent: cursor == current snapshot is a no-op, and a
+  crash between the state write and the cursor write just replays the same
+  diff into the same deterministic state (the fold is a pure function of
+  (old state, diff));
+- state versions are immutable dirs + an atomic pointer file, the same
+  commit discipline as the main table.
+
+Reference analogue: the per-batch metrics the reference accumulates into
+its completed-logs as each stage advances (``scripts/05_json_to_entrez.py:
+347-398``) — here made transactional and exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .table import CowTable
+
+
+class RollupTable:
+    """Per-conversation live-turn counts, incrementally maintained."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "pointer.json")
+
+    def _pointer(self) -> dict[str, Any] | None:
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def cursor(self) -> int | None:
+        ptr = self._pointer()
+        return None if ptr is None else ptr["snapshot_id"]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        ptr = self._pointer()
+        schema = T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+        ])
+        if ptr is None:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            os.path.join(self.root, ptr["version_dir"]))
+
+    def _commit(self, df: DataFrame, snapshot_id: int) -> None:
+        vdir = f"v-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, vdir))
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "version_dir": vdir}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._pointer_path())
+
+    def refresh(self, spark: SparkSession, table: CowTable) -> dict[str, Any]:
+        """Advance the rollup to the table's current snapshot.
+
+        Bootstrap (no cursor): one full aggregation. Steady state: fold the
+        per-key diff deltas into the prior state — cost O(changed keys),
+        independent of table size."""
+        snap = table.current_snapshot()
+        target = snap["snapshot_id"]
+        cur = self.cursor()
+        if cur == target:
+            return {"refreshed": False, "cursor": cur}
+        if cur is None:
+            full = (
+                table.read(spark)
+                .groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("n_turns"))
+            )
+            self._commit(full, target)
+            return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
+        d = table.diff(spark, cur, target)
+        delta = d.groupBy("conv_id").agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1)
+                .when(F.col("change_type") == "delete", -1)
+                .otherwise(0)
+            ).alias("dn")
+        )
+        old = self.read(spark)
+        merged = (
+            old.join(delta, "conv_id", "full_outer")
+            .select(
+                "conv_id",
+                (F.coalesce(F.col("n_turns"), F.lit(0))
+                 + F.coalesce(F.col("dn"), F.lit(0))).alias("n_turns"),
+            )
+            .filter(F.col("n_turns") > 0)
+        )
+        self._commit(merged, target)
+        return {"refreshed": True, "cursor": target, "mode": "incremental"}

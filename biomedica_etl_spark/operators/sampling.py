@@ -225,10 +225,62 @@ FROM r WHERE rank <= 20 ORDER BY lang, rank
 """
 
 
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type: keep the k=32
+    smallest md5(user_id) hashes; the k-th minimum, viewed as a uniform
+    [0,1) draw, estimates the distinct count as (k-1)/kth. Unlike HLL
+    (whose register layout differs across engines), the KMV sketch is a
+    DETERMINISTIC function of the input set — the sketch bytes AND the
+    estimate oracle-check exactly. Mergeable (union = min-k of the union)
+    and O(k) memory per group: the sketch family a 100 TB pipeline uses
+    for per-slice cardinality dashboards. The per-group min-k here is a
+    windowed rank; the production aggregation is per-partition min-k +
+    merge, same result."""
+    from pyspark.sql import Window
+
+    k = 32
+    e = tbl(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    mink = hashed.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    kth = mink.filter(F.col("r") == k).select(
+        "event_type", F.col("h").alias("kth_hash"))
+    frac = (
+        F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    return (
+        kth.select(
+            "event_type", "kth_hash",
+            F.round((k - 1) / frac, 6).alias("est_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_SKETCH_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM h
+)
+SELECT event_type, h AS kth_hash,
+       round(31 / (CAST('0x' || substr(h, 1, 15) AS BIGINT)
+                   / CAST(power(16, 15) AS DOUBLE)), 6) AS est_distinct
+FROM r WHERE r = 32 ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "split_by_cluster": (split_by_cluster, _split_by_cluster_sql()),
     "token_budget_shards": (token_budget_shards, TOKEN_BUDGET_SQL),
     "fixed_size_sample": (fixed_size_sample, FIXED_SIZE_SAMPLE_SQL),
+    "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SKETCH_SQL),
 }

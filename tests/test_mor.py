@@ -162,3 +162,43 @@ def test_read_changes_since_chains_downstream(spark, tmp_path):
     # but a fresh cursor AFTER the rewrite works again
     post = up.table.current_snapshot()["snapshot_id"]
     assert up.table.read_changes_since(spark, post).count() == 0
+
+
+def test_rollup_incremental_matches_full_recompute(spark, tmp_path):
+    """Continuous aggregate: bootstrap once, then each refresh folds only
+    the snapshot diff — final state equals a from-scratch aggregation,
+    refresh is idempotent, and a compaction-only snapshot advances the
+    cursor without changing the state."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+    from biomedica_etl_spark.cdc.merge import compact
+    from biomedica_etl_spark.cdc.rollup import RollupTable
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  compact_every=10_000)
+    roll = RollupTable(str(tmp_path / "rollup"))
+
+    r.run(max_batches=2)
+    assert roll.refresh(spark, r.table)["mode"] == "bootstrap"
+    r.run()  # the rest of the log
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental"
+
+    def canon(df):
+        return sorted((x["conv_id"], x["n_turns"]) for x in df.collect())
+
+    expected = r.table.read(spark).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"))
+    assert canon(roll.read(spark)) == canon(expected)
+    # idempotent at head
+    assert roll.refresh(spark, r.table)["refreshed"] is False
+    # a compaction commit changes no semantics: cursor advances, state same
+    before = canon(roll.read(spark))
+    compact(spark, r.table)
+    res2 = roll.refresh(spark, r.table)
+    assert res2["refreshed"] is True and res2["mode"] == "incremental"
+    assert canon(roll.read(spark)) == before
