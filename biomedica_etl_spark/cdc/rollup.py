@@ -70,6 +70,8 @@ class RollupTable:
             os.path.join(self.root, ptr["version_dir"]))
 
     def _commit(self, df: DataFrame, snapshot_id: int) -> None:
+        import shutil
+
         vdir = f"v-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, vdir))
         tmp = self._pointer_path() + ".tmp"
@@ -78,6 +80,13 @@ class RollupTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._pointer_path())
+        # GC: after the atomic pointer flip every other version dir —
+        # superseded states and crash orphans alike — is unreferenced
+        # (single-writer discipline, same as the main table's commits)
+        for entry in os.listdir(self.root):
+            if entry.startswith("v-") and entry != vdir:
+                shutil.rmtree(os.path.join(self.root, entry),
+                              ignore_errors=True)
 
     def refresh(self, spark: SparkSession, table: CowTable) -> dict[str, Any]:
         """Advance the rollup to the table's current snapshot.
