@@ -48,12 +48,15 @@ for path in logfiles:
             sid = si["Stage ID"]
             sub = si["Submission Time"] / 1000
             comp = si["Completion Time"] / 1000
-            stages[sid] = {
+            # UPDATE, not assign: the per-task metric aggregates for this
+            # stage were accumulated from the TaskEnd events that precede
+            # StageCompleted in the log
+            stages.setdefault(sid, {}).update({
                 "name": si["Stage Name"].split("\n")[0][:60],
                 "tasks": si["Number of Tasks"],
                 "wall": round(comp - sub, 2),
                 "sub": sub,
-            }
+            })
         elif e.get("Event") == "SparkListenerTaskEnd":
             sid = e["Stage ID"]
             m = e.get("Task Metrics") or {}
