@@ -41,14 +41,37 @@ _ENTRY_CDC_LOG = os.path.join(tempfile.gettempdir(), "spark-graft-entry-cdc-log"
 
 
 def _ensure_entry_log() -> str:
+    """Generate into a unique temp dir, then atomically rename to the fixed
+    path: two racing processes (Spark run vs DuckDB oracle run) or a
+    leftover half-written dir from a killed run can never leave partial
+    parquet files at the published path — rename failure means another
+    process won the race with identical bytes (the generator is fully
+    deterministic)."""
+    import shutil
+    import uuid
+
     from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
 
     if not os.path.exists(os.path.join(_ENTRY_CDC_LOG, "_meta.json")):
+        stage = _ENTRY_CDC_LOG + f".stage-{uuid.uuid4().hex}"
         generate_change_log(
-            _ENTRY_CDC_LOG,
+            stage,
             GeneratorConfig(n_events=5_000, batch_size=1_000, n_convs=50,
                             zipf_a=1.2, duplicate_frac=0.02, out_of_order=True),
         )
+        # a dir WITHOUT _meta.json is a dead partial from a killed run
+        # (complete generations end with _meta.json); move it aside so the
+        # rename target is free — never delete a complete one
+        if (os.path.isdir(_ENTRY_CDC_LOG)
+                and not os.path.exists(os.path.join(_ENTRY_CDC_LOG, "_meta.json"))):
+            try:
+                os.rename(_ENTRY_CDC_LOG, _ENTRY_CDC_LOG + f".dead-{uuid.uuid4().hex}")
+            except OSError:
+                pass  # another process already moved/replaced it
+        try:
+            os.rename(stage, _ENTRY_CDC_LOG)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # loser of the race
     return _ENTRY_CDC_LOG
 
 

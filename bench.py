@@ -54,6 +54,9 @@ CDC_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # micro-batch pipelining (MOR): overlap batch k+1's wide job with batch k's
 # commit + lineage read-back
 CDC_PIPELINE = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "2"))
+# /proc/stat steal ticks accumulate over every host CPU, so the steal%%
+# denominator is the actual host core count, not the Spark session's
+HOST_CPUS = os.cpu_count() or 32
 
 
 def _use_tmpfs_local_dirs() -> None:
@@ -157,7 +160,8 @@ def run_cdc_section(spark, workdir: str) -> dict:
         if CDC_MODE == "mor":
             compact_table(spark, runner.table)
         compact_sec = time.time() - t1
-        steal_pct = (_steal_ticks() - s0) / max((time.time() - t0) * 100 * 32, 1) * 100
+        steal_pct = (_steal_ticks() - s0) / max(
+            (time.time() - t0) * 100 * HOST_CPUS, 1) * 100
         attempts.append({"apply_sec": round(cdc_sec, 3),
                          "compact_sec": round(compact_sec, 3),
                          "steal_pct": round(steal_pct, 1)})
@@ -303,7 +307,7 @@ def scaling_main() -> None:
             s0 = _steal_ticks()
             sec, events, _ = run_cdc_apply(spark, os.path.join(workdir, f"{cores}-{i}"),
                                         events=SCALING_EVENTS, batches=SCALING_BATCHES)
-            steal_pct = (_steal_ticks() - s0) / max(sec * 100 * 32, 1) * 100
+            steal_pct = (_steal_ticks() - s0) / max(sec * 100 * HOST_CPUS, 1) * 100
             spark.stop()
             attempts[cores].append({"sec": round(sec, 2), "steal_pct": round(steal_pct, 1)})
             ceiling[cores].append(_cpu_ceiling_hashes_per_sec(cores))

@@ -176,6 +176,8 @@ class CdcRunner:
             )
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table,
+                        shuffle_salts=self.shuffle_salts,
+                        max_records_per_file=self.max_records_per_file,
                         buckets=self._buckets_at_threshold())
             if snap is None:
                 result.batches_skipped.append(batch_id)
@@ -231,6 +233,8 @@ class CdcRunner:
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
             if self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table,
+                        shuffle_salts=self.shuffle_salts,
+                        max_records_per_file=self.max_records_per_file,
                         buckets=self._buckets_at_threshold())
 
         with ThreadPoolExecutor(

@@ -52,6 +52,22 @@ from .schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
 BUCKET_COL = "_bucket"
 
 
+def _compress_ranges(ids: set[int]) -> list[list[int]]:
+    """{1,2,3,7} -> [[1,3],[7,7]]: committed-batch ids are near-contiguous
+    in practice, so the persisted fencing state stays O(gaps), not O(ids)."""
+    out: list[list[int]] = []
+    for i in sorted(ids):
+        if out and i == out[-1][1] + 1:
+            out[-1][1] = i
+        else:
+            out.append([i, i])
+    return out
+
+
+def _expand_ranges(ranges: list[list[int]]) -> set[int]:
+    return {i for lo, hi in ranges for i in range(lo, hi + 1)}
+
+
 def bucket_expr(conv_col: str, n_buckets: int):
     """Hidden-partitioning transform: bucket(n, conv_id)."""
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
@@ -149,6 +165,11 @@ class CowTable:
         self._committed_cache = {
             s["batch_id"] for s in snaps if s["batch_id"] is not None
         }
+        # batches whose manifests were expired: carried as compressed id
+        # ranges so fencing survives expiration in a COLD process too
+        for s in snaps:
+            self._committed_cache.update(_expand_ranges(
+                s.get("committed_ancestors", [])))
         if snaps:
             self._current_cache = snaps[-1]
 
@@ -455,13 +476,40 @@ class CowTable:
         references. Time travel keeps working for retained snapshots;
         immutable files mean expiration never touches live data. Assumes
         the single-writer discipline the commit protocol already requires
-        (no in-flight staging dir while maintenance runs)."""
+        (no in-flight staging dir while maintenance runs).
+
+        Exactly-once fencing survives expiration ACROSS PROCESS RESTARTS:
+        the batch ids committed by the expired snapshots (plus any ids an
+        earlier expiration already folded) are persisted as compressed
+        ``committed_ancestors`` [lo, hi] ranges in the oldest RETAINED
+        manifest before the expired ones are deleted — a cold process
+        rebuilding its committed-id cache from retained manifests sees
+        them, so a replayed log batch older than the retention window is
+        still a structural no-op (not just value-idempotent)."""
         import shutil
 
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return {"snapshots_removed": 0, "dirs_removed": 0}
         retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # fold the expiring commits' batch ids (and previously folded
+        # ancestors) into the oldest retained manifest, atomically, BEFORE
+        # any deletion — a crash mid-expiration can only leave extra
+        # manifests behind, never lose fencing state
+        ancestor_ids: set[int] = set()
+        for snap in expired:
+            if snap["batch_id"] is not None:
+                ancestor_ids.add(snap["batch_id"])
+            ancestor_ids.update(_expand_ranges(
+                snap.get("committed_ancestors", [])))
+        if ancestor_ids:
+            boundary = retained[0]
+            ancestor_ids.update(_expand_ranges(
+                boundary.get("committed_ancestors", [])))
+            boundary["committed_ancestors"] = _compress_ranges(ancestor_ids)
+            self._atomic_write(
+                self._snap_path(boundary["snapshot_id"]), json.dumps(boundary)
+            )
         live: set[str] = set()
         for snap in retained:
             for d in self._dirs_for(snap, "bucket_dirs", None):
@@ -484,8 +532,9 @@ class CowTable:
             except FileNotFoundError:
                 pass
         # expired manifests are gone from disk; keep caches consistent
-        # without a re-read (committed ids intentionally retain expired
-        # batches — fencing must survive expiration)
+        # without a re-read. The warm committed-id cache keeps the expired
+        # batch ids, and cold processes recover them from the
+        # committed_ancestors ranges persisted above.
         if self._snaps_cache is not None:
             self._snaps_cache = self._snaps_cache[-keep_last:]
         return {"snapshots_removed": len(expired), "dirs_removed": removed_dirs}

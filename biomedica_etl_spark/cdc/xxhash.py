@@ -6,7 +6,8 @@ n_buckets)`` with a ``spark.range(1)`` job pays full job-launch latency for
 one string (the round-1 anti-pattern); the hash is a published, stable
 algorithm (xxHash, BSD — the same spec Spark's
 ``catalyst.expressions.XxHash64`` implements), so the driver computes it in
-microseconds. ``tests/test_reduce_and_table.py`` pins equality against the
+microseconds. ``tests/test_metadata_and_robustness.py::
+test_xxhash64_matches_spark_expression`` pins equality against the
 Spark expression over a corpus of edge-case strings.
 """
 

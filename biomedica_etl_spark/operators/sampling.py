@@ -142,28 +142,62 @@ FROM withc ORDER BY doc_id
 def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sharding (O4 contiguous-range batching generalized):
     docs in stable key order are cut into shards of <= ~20k whitespace
-    tokens by a running-sum window — the serialize-into-bounded-shards
+    tokens by a GLOBAL running sum — the serialize-into-bounded-shards
     step of a training-data pipeline (the reference sizes tar shards by
     sample count, ``scripts/06_serilaize_to_webdataset_parallel.py:214``;
-    token budgets are the LLM-era version). The global ordered window is
-    a range-partitioned sort at scale; shard id = floor(cumsum/budget) of
-    the PRECEDING docs so no shard exceeds budget + one document."""
+    token budgets are the LLM-era version). Shard id =
+    floor(prior_cumsum/budget) so no shard exceeds budget + one document.
+
+    Scale-safe two-pass prefix sum (NOT an unpartitioned window, which
+    moves the whole table to one task): (1) ``repartitionByRange`` on the
+    order key so each partition owns a contiguous doc_id range; (2) a tiny
+    per-partition total aggregation (one row per partition) whose exclusive
+    cumsum is computed DRIVER-side — O(partitions), not O(rows); (3) the
+    offsets broadcast-join back on partition id, and the within-partition
+    running sum is an ordinary partitionBy(pid) window. Every stage is
+    parallel over partitions; nothing global ever materializes on one task.
+
+    Both passes re-evaluate the range exchange; Spark's RangePartitioner
+    samples with a seed derived from the partition index, so given the same
+    input files the boundaries are identical — and the RESULT is boundary-
+    independent anyway (the offset math reconstructs the exact global
+    prefix sum for any split).
+    """
     from pyspark.sql import Window
 
     from ..functions.text import token_count_col
 
     budget = 20_000
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens")
     )
-    w = (Window.orderBy("doc_id")
+    ranged = (
+        d.repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += int(tot)
+    offsets_df = spark.createDataFrame(offsets, "pid int, offset long")
+    w = (Window.partitionBy("pid").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return d.select(
-        "doc_id", "n_tokens",
-        (prior + F.col("n_tokens")).alias("cum_tokens"),
-        F.floor(prior / budget).cast("int").alias("shard_id"),
-    ).orderBy("doc_id")
+    local_prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    prior = F.col("offset") + local_prior
+    return (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(
+            "doc_id", "n_tokens",
+            (prior + F.col("n_tokens")).alias("cum_tokens"),
+            F.floor(prior / budget).cast("int").alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 TOKEN_BUDGET_SQL = r"""

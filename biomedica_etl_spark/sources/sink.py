@@ -41,11 +41,16 @@ def write_routed(
     """
     out = df
     if repartition_per_route is not None:
-        # salt within the route so one hot route spreads over k writers
+        # salt within the route so one hot route spreads over k writers.
+        # The salt must be a DETERMINISTIC function of the row's data (not
+        # monotonically_increasing_id/rand): on a real cluster a shuffle-map
+        # retry recomputes its input, and a nondeterministic salt would route
+        # rows to different reducers than the already-fetched attempt —
+        # silently duplicating or dropping rows in the published output.
         out = out.repartition(
             repartition_per_route,
             F.col(route_col),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                    F.lit(repartition_per_route)),
         )
     writer = out.write.mode(mode)

@@ -50,6 +50,44 @@ def test_expire_keeps_live_state_and_retained_history(spark, tmp_path):
         table.read(spark, snapshot_id=oldest)
 
 
+def test_fencing_survives_expiration_cold_restart(spark, tmp_path):
+    """Exactly-once fencing across expiration in a COLD process: after
+    expiring to keep_last=2, a brand-new CowTable / CdcRunner (empty
+    caches, rebuilt from retained manifests only) must still see every
+    old batch as committed — pending is empty, a forced replay of an
+    expired batch is a structural no-op (no new snapshot, commit returns
+    None), and the live state is untouched."""
+    from biomedica_etl_spark.cdc.checkpoint import pending_batches
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="cow")
+    runner.run()
+    all_batches = sorted(runner.table.committed_batch_ids())
+    assert len(all_batches) >= 4
+    runner.table.expire_snapshots(keep_last=2)
+
+    # cold process: fresh instances, no warm caches
+    cold_table = CowTable(str(tmp_path / "t"), n_buckets=8)
+    assert cold_table.committed_batch_ids() == set(all_batches)
+    assert pending_batches(spark, log, cold_table) == []
+    cold_runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                            mode="cow")
+    n_snaps = len(cold_runner.table.snapshots())
+    res = cold_runner.run()
+    assert res.batches_applied == []
+    assert sorted(res.batches_skipped + res.batches_applied) == []
+    assert len(cold_runner.table.snapshots()) == n_snaps  # zero new commits
+    # a direct forced commit of an expired batch id is fenced too
+    assert cold_runner.table.commit(all_batches[0], {}, None, None) is None
+    assert [r.asDict() for r in cold_runner.final_state().collect()] == replay(log)
+    # a SECOND expiration folds the previously-folded ancestors forward
+    cold_runner.table.expire_snapshots(keep_last=1)
+    colder = CowTable(str(tmp_path / "t"), n_buckets=8)
+    assert colder.committed_batch_ids() == set(all_batches)
+
+
 def test_expire_noop_when_few_snapshots(spark, tmp_path):
     log = str(tmp_path / "log")
     generate_change_log(log, SCENARIOS["insert_only"])

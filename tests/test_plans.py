@@ -115,6 +115,30 @@ def test_pandas_normalize_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_token_budget_shards_no_global_window(spark):
+    """The global running sum must be the two-pass prefix form: a range
+    exchange spreads the order key over many partitions, every window is
+    PARTITIONED (by pid), and no unpartitioned window ever funnels the
+    table through one task. Values still equal the exact global cumsum."""
+    from itertools import accumulate
+
+    from biomedica_etl_spark.operators.sampling import token_budget_shards
+
+    df = token_budget_shards(spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    specs = [s for s in plan.split("windowspecdefinition(")[1:]]
+    assert specs, plan  # the running sum is still a window...
+    for s in specs:  # ...and every window spec starts with the pid key
+        assert s.startswith("pid"), plan
+    assert "rangepartitioning(doc_id" in plan, plan
+    rows = df.collect()
+    priors = [0] + list(accumulate(r["n_tokens"] for r in rows))[:-1]
+    assert [r["cum_tokens"] for r in rows] == [
+        p + r["n_tokens"] for p, r in zip(priors, rows)
+    ]
+    assert [r["shard_id"] for r in rows] == [p // 20_000 for p in priors]
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     """Co-located join: two tables bucketed+sorted on the key join with
     ZERO exchanges and zero sorts — the write-once-shuffle-never pattern
