@@ -34,7 +34,12 @@ from .merge import (
     mor_commit_staged,
     mor_stage_batch,
 )
-from .schema import SchemaRegistry, align_to_target
+from .schema import (
+    CHANGE_COLS,
+    SchemaRegistry,
+    align_to_target,
+    target_change_schema,
+)
 from .table import CowTable
 
 
@@ -257,6 +262,47 @@ class CdcRunner:
             int(b) for b, ds in snap.get("delta_dirs", {}).items()
             if len(ds) >= self.compact_every
         )
+
+    def read_quarantine(self, batch_id: int | None = None) -> DataFrame:
+        """Quarantined (invalid) raw events, with the ``batch_id`` they
+        arrived in — the read half of the reference's error-log -> fix ->
+        retry loop (``scripts/05c_remaining_json.py:31-66``; error CSVs at
+        ``src/pmc_oa/download_batch.py:123-139``). Rows are in the aligned
+        target change schema exactly as they failed the validity gate."""
+        import glob
+
+        pattern = (f"batch_id={batch_id}" if batch_id is not None
+                   else "batch_id=*")
+        dirs = sorted(glob.glob(os.path.join(self.quarantine_dir, pattern)))
+        if not dirs:
+            schema = target_change_schema().add("batch_id", "long")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.option(
+            "basePath", self.quarantine_dir
+        ).parquet(*dirs)
+
+    def reinject(self, fixed: DataFrame, batch_id: int) -> None:
+        """Re-inject repaired events as a NEW change-log micro-batch at the
+        newest schema epoch. The normal pending -> apply loop then picks it
+        up under the full exactly-once contract — no side door into the
+        table. Callers assign FRESH lsns (above the applied watermark) so
+        the repaired values win LWW; the quarantined batch's original id
+        stays committed and can never replay. Refuses ids already planned
+        or committed (a re-fix cycle uses a new id each time, the
+        file-roll discipline of ``src/pmc_oa/build_json.py:125-157``)."""
+        planned = {b for b, _ in planned_batches(self.log_dir)}
+        if batch_id in planned or self.table.is_committed(batch_id):
+            raise ValueError(
+                f"batch_id {batch_id} already planned or committed — "
+                "re-injection needs a fresh batch id"
+            )
+        epoch = self.registry.max_epoch
+        out = os.path.join(
+            self.log_dir, f"schema_id={epoch}", f"batch_id={batch_id}"
+        )
+        align_to_target(fixed).select(*CHANGE_COLS).write.mode(
+            "errorifexists"
+        ).parquet(out)
 
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""

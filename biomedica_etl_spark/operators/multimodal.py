@@ -253,9 +253,77 @@ FROM documents ORDER BY doc_id
 """
 
 
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode -> index loop COMPOSED (reference: feature extraction
+    feeds labeler training/search end-to-end,
+    ``scripts/Labeler/01_get_features.py`` -> ``02_train_labelers.py``):
+    payloads run through the Arrow ``mapInPandas`` encoder stage, then the
+    resulting embedding column feeds the bucketed ANN search — the same
+    one-bucket-per-row key-equi shape as ``ann_lsh_bucketed``, so the
+    shuffle stays linear in rows. Queries (doc_id % 50 = 0) get their
+    top-3 nearest neighbors within their bucket by squared distance;
+    bucket = quantized leading feature. With a real encoder swapped into
+    ``embed_batch`` nothing downstream changes — this row proves the two
+    stages compose plan-to-plan."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    emb = payloads.mapInPandas(embed_batch, EMBED_SCHEMA).withColumn(
+        "bucket", F.floor(F.col("f0") * 16).cast("int"))
+    q = emb.filter(F.col("doc_id") % 50 == 0).select(
+        "bucket", F.col("doc_id").alias("query_id"),
+        *[F.col(f"f{k}").alias(f"q{k}") for k in range(4)])
+    c = emb.select(
+        "bucket", F.col("doc_id").alias("neighbor_id"),
+        *[F.col(f"f{k}").alias(f"n{k}") for k in range(4)])
+    dist2 = F.round(sum(
+        (F.col(f"q{k}") - F.col(f"n{k}")) * (F.col(f"q{k}") - F.col(f"n{k}"))
+        for k in range(4)), 9)
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        q.join(c, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .select("bucket", "query_id", "neighbor_id", "dist2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_EMB_D2 = ("(q.f0 - c.f0) * (q.f0 - c.f0) + (q.f1 - c.f1) * (q.f1 - c.f1)"
+           " + (q.f2 - c.f2) * (q.f2 - c.f2) + (q.f3 - c.f3) * (q.f3 - c.f3)")
+EMBED_ANN_SQL = f"""
+WITH e AS (
+  SELECT doc_id, {_EMBED_F_SQL}
+  FROM documents
+),
+b AS (
+  SELECT doc_id, f0, f1, f2, f3,
+         CAST(floor(f0 * 16) AS INT) AS bucket
+  FROM e
+),
+pairs AS (
+  SELECT q.bucket, q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round({_EMB_D2}, 9) AS dist2
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.doc_id <> q.doc_id
+  WHERE q.doc_id % 50 = 0
+)
+SELECT bucket, query_id, neighbor_id, dist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_embed": (multimodal_embed, MULTIMODAL_EMBED_SQL),
+    "multimodal_embed_ann": (multimodal_embed_ann, EMBED_ANN_SQL),
 }
