@@ -210,23 +210,9 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
-# the banded relation must outlive this call (the returned DataFrame is
-# lazy), so each call hands its persist handle here and the NEXT call
-# releases it — a long-lived session (bench/runner loop) holds at most one
-# cached banded relation instead of leaking one per invocation
-_live_banded: list[DataFrame] = []
-
-
-def _release_banded() -> None:
-    while _live_banded:
-        _live_banded.pop().unpersist()
-
-
-def _lsh_candidates(
-    spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
-) -> DataFrame:
-    _release_banded()
-    sig = _signatures(spark, sf_dir, n_hashes)
+def _banded(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key) from a signature relation, via ONE explode
+    pass — no per-band scan of the signatures."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -236,26 +222,47 @@ def _lsh_candidates(
         )
         for b in range(n_hashes // band_size)
     ]
-    # one pass over the signatures: bands come from a single explode, and
-    # the tiny banded relation (n_docs x bands rows, ~40 B each) is
-    # persisted so the expensive shingle->signature subtree is computed
-    # ONCE, not once per band per join side. At corpus scale signatures
-    # are a table you materialize anyway — they're O(docs), not O(text).
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key")).persist()
-    _live_banded.append(banded)
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+             F.col("bk.band_key").alias("band_key"))
+
+
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from the banded relation by bucket-collect: ONE
+    shuffle (groupBy band key) computes the expensive shingle->signature
+    subtree exactly once, then pairs expand inside each bucket with an
+    array expression — no self-join, so no persist handle to manage and
+    no double evaluation of the signature plan (the round-2 version's
+    banded self-join re-scanned the subtree unless it was cached, which
+    is what the r01->r02 bench swing measured; this plan is ~2x faster
+    than the honest uncached join at sf0.1 and strictly one shuffle).
+    LSH near-dup buckets are small by construction (a bucket = docs
+    agreeing on a full band); a degenerate corpus-hot bucket (e.g. empty
+    docs) would bloat its collected array — at web scale add the same
+    df-cap discipline as JACCARD_MAX_DF before the expansion."""
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(b2, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS d1, y AS d2))))"
+        )).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
         .orderBy("d1", "d2")
     )
+
+
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    sig = _signatures(spark, sf_dir, n_hashes)
+    return _band_pairs(_banded(sig, n_hashes, band_size))
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,33 +304,8 @@ def minhash_lsh_candidates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc instead of 2 and the signature aggregate 128 min() columns, all
     map-side. One md5 per shingle + KM affine mixing supplies the 128 hash
     family. This is the configuration the benchmark times."""
-    _release_banded()
     sig = _km_signatures(spark, sf_dir, _FULL_N_HASHES)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[
-                F.col(f"mh{b * _FULL_BAND_SIZE + j}")
-                for j in range(_FULL_BAND_SIZE)
-            ])).alias("band_key"),
-        )
-        for b in range(_FULL_N_HASHES // _FULL_BAND_SIZE)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key")).persist()
-    _live_banded.append(banded)
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    return (
-        a.join(b2, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
-    )
+    return _band_pairs(_banded(sig, _FULL_N_HASHES, _FULL_BAND_SIZE))
 
 
 def _lsh_sql(n_hashes: int, band_size: int) -> str:
