@@ -212,6 +212,13 @@ class CdcRunner:
             pending = pending[:max_batches]
 
         def _stage(batch_id: int) -> dict[str, Any] | None:
+            # one scheduler pool per pipeline slot: with FAIR mode (set in
+            # session.py) the in-flight batches' jobs share executor slots
+            # instead of queueing FIFO — batch k+1's map stage runs inside
+            # batch k's reduce stragglers and commit gaps
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"stage-{batch_id % self.pipeline_depth}"
+            )
             changes = read_batch(self.spark, self.log_dir, batch_id,
                                  schema_of[batch_id], self.registry)
             return mor_stage_batch(

@@ -51,6 +51,18 @@ def get_spark(
         # single-file-per-segment layouts a WAL tail produces
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR across scheduler pools: the pipelined runner puts each
+        # in-flight micro-batch in its own pool so batch k+1's map stage
+        # fills the straggler waves and commit/lineage gaps of batch k
+        # instead of queueing behind it (FIFO would serialize the jobs);
+        # single-job workloads are unaffected
+        .config("spark.scheduler.mode", "FAIR")
+        # bucket-partitioned layer dirs (128 buckets) exceed the default
+        # parallel-listing threshold (32), making every layer read-back
+        # launch a full Spark listing job; driver-side listing of a few
+        # hundred dirs is microseconds on any FS. At real lakehouse scale
+        # file listing comes from the table manifest, not dir walking.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local mode: driver heap IS the executor heap; size it so
