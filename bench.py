@@ -89,6 +89,8 @@ HEADLINE = [
     "json_roundtrip",
     "pandas_normalize_text",
     "citation_date_parse",
+    "token_budget_shards",
+    "ann_ivf_trained",
 ]
 
 
