@@ -421,6 +421,19 @@ class CowTable:
             parent_dirs = {
                 d for ds in parent.get("delta_dirs", {}).values() for d in ds
             }
+            snap_dirs = {
+                d for ds in s.get("delta_dirs", {}).values() for d in ds
+            }
+            if not parent_dirs <= snap_dirs:
+                # delta layers DISAPPEARED without a base rewrite: a
+                # rollback commit — the feed across it is not a forward
+                # change set either
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} removed delta layers "
+                    f"({s.get('summary', {}).get('commit_type', '?')}): "
+                    "incremental read across it is impossible — resync "
+                    "from a full scan"
+                )
             for ds in s.get("delta_dirs", {}).values():
                 for d in ds:
                     if d not in parent_dirs:
@@ -469,6 +482,43 @@ class CowTable:
                      "old_lsn", "new_lsn")
             .filter(F.col("change_type").isNotNull())
         )
+
+    def rollback(self, snapshot_id: int) -> dict[str, Any]:
+        """Iceberg-style rollback: publish a NEW snapshot whose file
+        references equal the target's — history moves forward, nothing is
+        deleted, and every retained snapshot still time-travels. The
+        maintenance undo switch (bad compaction, operator error).
+
+        Exactly-once fencing is INTENTIONALLY unchanged: batches applied
+        after the target remain committed, so replaying them is still a
+        structural no-op. Rollback reverts state, it does not reopen the
+        log — reprocessing corrected data goes through
+        ``CdcRunner.reinject`` under fresh batch ids, exactly like the
+        quarantine repair loop. (The alternative — un-committing batches —
+        would let a lagging tail replay stale events over the rolled-back
+        state with old lsns and silently win nothing, or worse, resurrect
+        the bad data; real lakehouse + CDC deployments document the same
+        split of responsibilities.)"""
+        target = self.snapshot_by_id(snapshot_id)
+        if target is None:
+            raise ValueError(f"unknown snapshot_id {snapshot_id}")
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": None,
+            "lsn_lo": target["lsn_lo"],
+            "lsn_hi": target["lsn_hi"],
+            "n_buckets": parent["n_buckets"],
+            "bucket_dirs": dict(target["bucket_dirs"]),
+            "delta_dirs": {b: list(ds)
+                           for b, ds in target.get("delta_dirs", {}).items()},
+            "summary": {"commit_type": "rollback",
+                        "rolled_back_to": snapshot_id},
+        }
+        self._write_snapshot(snap)
+        return snap
 
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiration: drop all but the newest

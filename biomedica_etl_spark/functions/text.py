@@ -417,6 +417,137 @@ FROM p ORDER BY doc_id
 """
 
 
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document — the standard
+    LLM-corpus filters for boilerplate/spam (duplicate-heavy docs): distinct
+    word fraction, duplicate 3-gram fraction, and the most-frequent word's
+    share of all words. All JVM-side array expressions over ONE tokenize
+    (the top-word count is per-row O(distinct x words) — bounded by doc
+    length, not corpus size, so it stays embarrassingly parallel at 100 TB).
+    Thresholded to a pass flag the way quality_scores gates P8."""
+    d = tbl(spark, sf_dir, "documents")
+    ws = F.expr(r"split(trim(lower(text)), '\\s+')")
+    base = d.select("doc_id", F.explode(F.array(ws)).alias("ws"))
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', slice(ws, i, 3))) ELSE array() END")
+    scored = base.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.round(F.size(F.array_distinct("ws"))
+                / F.greatest(F.size("ws"), F.lit(1)), 6)
+        .alias("distinct_word_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams))
+            / F.greatest(F.size(grams), F.lit(1)), 6)
+        .alias("dup_3gram_frac"),
+        F.round(
+            F.expr("array_max(transform(array_distinct(ws), "
+                   "w -> size(filter(ws, x -> x = w))))")
+            / F.greatest(F.size("ws"), F.lit(1)), 6)
+        .alias("top_word_frac"),
+    )
+    return scored.withColumn(
+        "passes_repetition_gate",
+        (F.col("dup_3gram_frac") <= 0.2) & (F.col("top_word_frac") <= 0.2),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         round(len(list_distinct(ws)) / greatest(len(ws), 1), 6)
+           AS distinct_word_frac,
+         round(1.0 - len(list_distinct(grams)) / greatest(len(grams), 1), 6)
+           AS dup_3gram_frac,
+         round(list_max(list_transform(list_distinct(ws),
+                 w -> len(list_filter(ws, x -> x = w))))
+               / greatest(len(ws), 1), 6) AS top_word_frac
+  FROM g
+)
+SELECT doc_id, n_words, distinct_word_frac, dup_3gram_frac, top_word_frac,
+       dup_3gram_frac <= 0.2 AND top_word_frac <= 0.2
+         AS passes_repetition_gate
+FROM s ORDER BY doc_id
+"""
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every published training corpus
+    runs: emails and phone-shaped numbers replaced with typed placeholder
+    tokens, with per-doc redaction counts for the lineage report. Pure
+    JVM ``regexp_replace``/``regexp_count`` (WholeStageCodegen; at 100 TB
+    this is a free rider on any other full-text pass). The synthetic
+    corpus carries no PII, so — same move as dedup_exact's shifted-id
+    copies — every 10th doc gets a deterministic contact line appended in
+    BOTH engines and the operator provably strips it."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}-\d{3}-\d{4}\b"
+    d = tbl(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"),
+                     F.lit(" contact user"), F.col("doc_id"),
+                     F.lit("@mail.example or call 555-867-5309.")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    n_emails = F.regexp_count(F.col("text"), F.lit(email_re)).cast("int")
+    n_phones = F.regexp_count(F.col("text"), F.lit(phone_re)).cast("int")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"),
+        phone_re, "<PHONE>")
+    return (
+        seeded.select(
+            "doc_id", n_emails.alias("n_emails"), n_phones.alias("n_phones"),
+            redacted.alias("redacted_text"))
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+        .orderBy("doc_id")
+    )
+
+
+REDACT_PII_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@mail.example or call 555-867-5309.'
+              ELSE text END AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT)
+           AS n_phones,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted_text
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones, redacted_text
+FROM r WHERE n_emails > 0 OR n_phones > 0 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "scalar_extracts": (scalar_extracts, SCALAR_EXTRACTS_SQL),
     "date_parts": (date_parts, DATE_PARTS_SQL),
@@ -428,4 +559,6 @@ QUERIES: dict[str, tuple] = {
     "citation_date_parse": (citation_date_parse, CITATION_DATE_SQL),
     "token_filter_split": (token_filter_split, TOKEN_FILTER_SPLIT_SQL),
     "key_decompose": (key_decompose, KEY_DECOMPOSE_SQL),
+    "repetition_scores": (repetition_scores, REPETITION_SQL),
+    "redact_pii": (redact_pii, REDACT_PII_SQL),
 }

@@ -259,6 +259,68 @@ FROM r WHERE rank <= 20 ORDER BY lang, rank
 """
 
 
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: eval (val/test) docs that have an
+    LSH near-dup candidate sitting in train under the naive doc-hash
+    split — the report that motivates ``split_by_cluster`` (which hashes
+    the near-dup CLUSTER id so these pairs cannot straddle splits). At
+    corpus scale this is the routine eval-hygiene sweep before any
+    benchmark number is published. Plan: the linear-shuffle LSH candidate
+    pairs join the map-side split assignment on each end — no new heavy
+    stage beyond what dedup already runs."""
+    from .dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    splits = split_assign(spark, sf_dir).select("doc_id", "split")
+    s1 = splits.select(F.col("doc_id").alias("d1"),
+                       F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"),
+                       F.col("split").alias("split2"))
+    j = pairs.join(s1, "d1").join(s2, "d2")
+    one_train = (
+        ((F.col("split1") == "train") & (F.col("split2") != "train"))
+        | ((F.col("split2") == "train") & (F.col("split1") != "train"))
+    )
+    eval_doc = F.when(F.col("split1") == "train", F.col("d2")).otherwise(F.col("d1"))
+    eval_split = F.when(F.col("split1") == "train",
+                        F.col("split2")).otherwise(F.col("split1"))
+    train_doc = F.when(F.col("split1") == "train",
+                       F.col("d1")).otherwise(F.col("d2"))
+    return (
+        j.filter(one_train)
+        .select(eval_doc.alias("eval_doc"), eval_split.alias("eval_split"),
+                train_doc.alias("train_doc"))
+        .orderBy("eval_doc", "train_doc")
+    )
+
+
+def _contamination_sql() -> str:
+    from .dedup import MINHASH_LSH_SQL
+
+    key = "CAST(doc_id AS VARCHAR)"
+    return f"""
+WITH cand AS (SELECT d1, d2 FROM ({MINHASH_LSH_SQL}) c),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {_bucket_sql(key, "split")} < 80 THEN 'train'
+              WHEN {_bucket_sql(key, "split")} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+j AS (
+  SELECT c.d1, c.d2, a.split AS split1, b.split AS split2
+  FROM cand c JOIN splits a ON a.doc_id = c.d1
+              JOIN splits b ON b.doc_id = c.d2
+)
+SELECT CASE WHEN split1 = 'train' THEN d2 ELSE d1 END AS eval_doc,
+       CASE WHEN split1 = 'train' THEN split2 ELSE split1 END AS eval_split,
+       CASE WHEN split1 = 'train' THEN d1 ELSE d2 END AS train_doc
+FROM j
+WHERE (split1 = 'train') <> (split2 = 'train')
+ORDER BY eval_doc, train_doc
+"""
+
+
 def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch per event_type: keep the k=32
     smallest md5(user_id) hashes; the k-th minimum, viewed as a uniform
@@ -317,4 +379,5 @@ QUERIES: dict[str, tuple] = {
     "token_budget_shards": (token_budget_shards, TOKEN_BUDGET_SQL),
     "fixed_size_sample": (fixed_size_sample, FIXED_SIZE_SAMPLE_SQL),
     "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SKETCH_SQL),
+    "contamination_report": (contamination_report, _contamination_sql()),
 }

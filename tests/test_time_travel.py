@@ -66,6 +66,58 @@ def test_read_conversation_prunes_to_one_bucket(spark, tmp_path):
     assert len(buckets_touched) <= 1
 
 
+def test_rollback_reverts_state_keeps_fencing(spark, tmp_path):
+    """table.rollback(id): a NEW snapshot with the target's file refs —
+    live state reverts, history stays readable, fencing stays intact (no
+    batch replays), the change feed refuses to cross the rollback, and a
+    fresh re-injected batch applies on top of the rolled-back state."""
+    from biomedica_etl_spark.cdc.oracle import replay
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    runner.run(max_batches=2)
+    target = runner.table.current_snapshot()["snapshot_id"]
+    state_at_target = [r.asDict() for r in runner.final_state().collect()]
+    runner.run()  # the rest
+    pre_roll = runner.table.current_snapshot()["snapshot_id"]
+    assert pre_roll > target
+
+    snap = runner.table.rollback(target)
+    assert snap["summary"] == {"commit_type": "rollback",
+                               "rolled_back_to": target}
+    # live state reverted exactly
+    assert [r.asDict() for r in runner.final_state().collect()] == state_at_target
+    # fencing intact: every batch still committed, nothing replays
+    res = runner.run()
+    assert res.batches_applied == []
+    # pre-rollback history still time-travels
+    full = [r.asDict()
+            for r in runner.table.read(spark, snapshot_id=pre_roll)
+            .orderBy("conv_id", "turn_idx").collect()]
+    assert full == replay(log)
+    # the incremental feed refuses to serve across the rollback
+    with pytest.raises(ValueError, match="removed delta layers"):
+        runner.table.read_changes_since(spark, target)
+    # corrected data goes forward under a fresh batch id
+    from pyspark.sql import functions as F
+
+    fix = runner.table.read_stored_files(spark).limit(0)  # schema donor
+    del fix
+    one = runner.final_state().limit(1).collect()[0]
+    fixed = spark.createDataFrame(
+        [(10_000_000, "U", one["conv_id"], one["turn_idx"], one["role"],
+          "corrected", one["tool"], one["ts"])],
+        "lsn long, op string, conv_id string, turn_idx long, role string, "
+        "text string, tool string, ts timestamp")
+    runner.reinject(fixed, 999)
+    res2 = runner.run()
+    assert res2.batches_applied == [999]
+    got = runner.table.read_conversation(spark, one["conv_id"]).filter(
+        F.col("turn_idx") == one["turn_idx"]).collect()[0]["text"]
+    assert got == "corrected"
+
+
 def test_snapshot_diff_classifies_changes(spark, tmp_path):
     """table.diff(a, b): net insert/update/delete per key between any two
     retained snapshots — works across COW rewrites (unlike the MOR-only
