@@ -48,3 +48,28 @@ def append_lineage(lineage_dir: str, rows: list[dict[str, Any]], snapshot_id: in
     )
     table = pa.table(cols, schema=schema)
     pq.write_table(table, os.path.join(lineage_dir, f"lineage-{uuid.uuid4().hex}.parquet"))
+
+
+def read_lineage(spark, lineage_dir: str):
+    """The metrics table as a DataFrame — the reconcile/diagnose read half
+    of the reference's completeness checks
+    (``src/pmc_oa/download_batch.py:246-276``): sum(rows_upserted/deleted)
+    per batch reconciles against snapshot summaries, max(watermark) per
+    bucket is the freshness dashboard. Empty dir -> empty typed frame."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("offsets_applied", T.LongType()),
+        T.StructField("rows_upserted", T.LongType()),
+        T.StructField("rows_deleted", T.LongType()),
+        T.StructField("lsn_lo", T.LongType()),
+        T.StructField("lsn_hi", T.LongType()),
+        T.StructField("watermark", T.TimestampType()),
+    ])
+    if not os.path.isdir(lineage_dir) or not os.listdir(lineage_dir):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(lineage_dir)

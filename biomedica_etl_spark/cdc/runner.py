@@ -311,6 +311,13 @@ class CdcRunner:
             "errorifexists"
         ).parquet(out)
 
+    def read_lineage(self) -> DataFrame:
+        """The per-(batch, bucket) metrics table — reconciles against
+        snapshot summaries (tests pin sum-vs-delta equality)."""
+        from .lineage import read_lineage
+
+        return read_lineage(self.spark, self.lineage_dir)
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")

@@ -52,6 +52,12 @@ from .schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
 BUCKET_COL = "_bucket"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table between plan and publish — the
+    optimistic-concurrency loser. Callers ``refresh()`` and retry; the
+    fencing check then makes a retried already-committed batch a no-op."""
+
+
 def _compress_ranges(ids: set[int]) -> list[list[int]]:
     """{1,2,3,7} -> [[1,3],[7,7]]: committed-batch ids are near-contiguous
     in practice, so the persisted fencing state stays O(gaps), not O(ids)."""
@@ -144,6 +150,36 @@ class CowTable:
         os.rename(tmp, path)  # atomic publish: readers never see a partial file
 
     def _write_snapshot(self, snap: dict[str, Any]) -> None:
+        """Publish a snapshot with optimistic-concurrency detection: the
+        parent this commit was planned against must still be the table's
+        current version on disk (Iceberg's commit CAS, approximated with
+        the version-hint + exclusive manifest create on a filesystem).
+        Two racing writers cannot both win — the loser raises
+        ``ConcurrentCommitError`` and retries against the new state."""
+        parent_id = snap.get("parent_id")
+        if parent_id is not None:
+            hint = self._hint_path()
+            if os.path.exists(hint):
+                try:
+                    with open(hint) as f:
+                        disk_current = int(f.read().strip())
+                except ValueError:
+                    disk_current = parent_id  # corrupt hint: manifest wins below
+                if disk_current != parent_id:
+                    raise ConcurrentCommitError(
+                        f"commit planned against snapshot {parent_id} but "
+                        f"table is at {disk_current} — another writer "
+                        "committed; refresh() and retry"
+                    )
+            # exclusive create: even if two writers pass the hint check in
+            # the same instant, only one manifest file for this version can
+            # be created
+            path = self._snap_path(snap["snapshot_id"])
+            if os.path.exists(path):
+                raise ConcurrentCommitError(
+                    f"snapshot {snap['snapshot_id']} already exists — "
+                    "another writer committed; refresh() and retry"
+                )
         self._atomic_write(self._snap_path(snap["snapshot_id"]), json.dumps(snap))
         self._atomic_write(self._hint_path(), str(snap["snapshot_id"]))
         # incremental cache maintenance: commit N+1 never re-reads N manifests
@@ -482,6 +518,35 @@ class CowTable:
                      "old_lsn", "new_lsn")
             .filter(F.col("change_type").isNotNull())
         )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Iceberg ``snapshots`` metadata-table analogue: the retained
+        snapshot chain as a typed DataFrame — commit type, applied batch,
+        lsn range, and summary counts per commit. Metadata-only (built
+        from the cached manifests, no data files touched)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("parent_id", T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("commit_type", T.StringType()),
+            T.StructField("lsn_lo", T.LongType()),
+            T.StructField("lsn_hi", T.LongType()),
+            T.StructField("rows_upserted", T.LongType()),
+            T.StructField("rows_deleted", T.LongType()),
+        ])
+        rows = []
+        for s in self.snapshots():
+            summ = s.get("summary", {})
+            rows.append((
+                s["snapshot_id"], s["parent_id"], s["batch_id"],
+                summ.get("commit_type",
+                         "create" if s["parent_id"] is None else "cow-merge"),
+                s["lsn_lo"], s["lsn_hi"],
+                summ.get("rows_upserted"), summ.get("rows_deleted"),
+            ))
+        return spark.createDataFrame(rows, schema)
 
     def rollback(self, snapshot_id: int) -> dict[str, Any]:
         """Iceberg-style rollback: publish a NEW snapshot whose file

@@ -152,6 +152,49 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming dedup of an at-least-once event feed:
+    ``dropDuplicatesWithinWatermark`` on ``event_id`` emits each event
+    exactly once while keeping only O(watermark-horizon) keys of state —
+    the ingest-side dedup a CDC tail needs when the transport redelivers
+    (reference analogue: the at-least-once FTP fetch made safe by
+    idempotent apply, SURVEY S4/§2.8; plain ``dropDuplicates`` would hold
+    every id ever seen and OOM an unbounded stream). A duplicate arriving
+    within the horizon is dropped; state for ids older than the watermark
+    is evicted, which is the documented (and correct) bounded-memory
+    trade: a redelivery later than the lateness bound is the downstream
+    max-LSN merge's job, exactly like this engine's batch path."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     src_dir: str,

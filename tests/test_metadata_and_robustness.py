@@ -108,6 +108,74 @@ def test_expire_snapshots_keeps_caches_consistent(tmp_path):
     assert CowTable(str(tmp_path / "t")).current_snapshot()["batch_id"] == 99
 
 
+def test_history_and_lineage_read_apis(spark, tmp_path):
+    """table.history(): one typed row per retained snapshot with commit
+    type + counts; runner.read_lineage(): per-(batch,bucket) metrics that
+    reconcile against the snapshot summaries."""
+    from biomedica_etl_spark.cdc.generator import SCENARIOS, generate_change_log
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor", compact_every=1_000_000)
+    runner.run()
+    hist = {r["snapshot_id"]: r for r in runner.table.history(spark).collect()}
+    snaps = runner.table.snapshots()
+    assert len(hist) == len(snaps)
+    assert hist[0]["commit_type"] == "create"
+    applied = [s for s in snaps if s["batch_id"] is not None]
+    for s in applied:
+        h = hist[s["snapshot_id"]]
+        assert h["commit_type"] == "append-delta"
+        assert h["batch_id"] == s["batch_id"]
+    # lineage reconciles: per-batch sums equal the snapshot summaries
+    from pyspark.sql import functions as F
+
+    lin = (runner.read_lineage().groupBy("batch_id")
+           .agg(F.sum("rows_upserted").alias("u"),
+                F.sum("rows_deleted").alias("d")))
+    lin_by_batch = {r["batch_id"]: (r["u"], r["d"]) for r in lin.collect()}
+    for s in applied:
+        summ = s["summary"]
+        # snapshot summary counts RAW events; lineage counts post-reduce
+        # mutations per bucket — both nonzero and lineage <= raw
+        u, d = lin_by_batch[s["batch_id"]]
+        assert 0 < u <= summ["rows_upserted"] + summ["rows_deleted"]
+    assert runner.table.rollback(applied[0]["snapshot_id"]) is not None
+    hist2 = runner.table.history(spark).orderBy(F.desc("snapshot_id")).first()
+    assert hist2["commit_type"] == "rollback"
+
+
+def test_concurrent_writer_detected_and_loser_recovers(tmp_path):
+    """Optimistic concurrency: two CowTable handles plan against the same
+    parent; the second publish raises ConcurrentCommitError instead of
+    silently forking the chain, and after refresh() the loser's retry is
+    either fenced (same batch id) or lands cleanly (new batch id)."""
+    import pytest as _pytest
+
+    from biomedica_etl_spark.cdc.table import ConcurrentCommitError
+
+    t1 = CowTable(str(tmp_path / "t"), n_buckets=4)
+    t1.create()
+    t1.commit(0, {}, 0, 0, {})
+    t2 = CowTable(str(tmp_path / "t"), n_buckets=4)
+    assert t2.current_snapshot()["snapshot_id"] == 1  # both see v1
+    t1.commit(1, {}, 1, 1, {})  # writer 1 wins the race
+    with _pytest.raises(ConcurrentCommitError, match="another writer"):
+        t2.commit(2, {}, 2, 2, {})
+    # no forked/partial state: disk still shows writer 1's chain
+    t3 = CowTable(str(tmp_path / "t"))
+    assert t3.current_snapshot()["snapshot_id"] == 2
+    assert t3.committed_batch_ids() == {0, 1}
+    # loser refreshes and retries: replay of a now-committed batch is a
+    # fenced no-op; a genuinely new batch commits
+    t2.refresh()
+    assert t2.commit(1, {}, 1, 1, {}) is None
+    assert t2.commit(2, {}, 2, 2, {}) is not None
+    assert CowTable(str(tmp_path / "t")).committed_batch_ids() == {0, 1, 2}
+
+
 # -------------------------------------------------- malformed-null events
 def test_null_op_and_null_turn_rows_are_quarantined_not_lost(spark, tmp_path):
     t = CowTable(str(tmp_path / "t"), n_buckets=4)

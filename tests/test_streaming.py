@@ -102,6 +102,55 @@ def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
     assert base + datetime.timedelta(hours=2) not in out
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered events within the
+    watermark horizon are dropped across micro-batches; each event id is
+    emitted exactly once; new events keep flowing."""
+    import datetime
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.streaming.stream_runner import stream_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 0: events 1, 2 (and an in-batch duplicate of 1)
+    _write("a.parquet", [(1, ts(0), 1.0), (1, ts(0), 1.0), (2, ts(5), 2.0)],
+           mtime=time.time() - 90)
+    # batch 1: redelivery of 1 and 2 within the watermark + new event 3
+    _write("b.parquet", [(1, ts(0), 1.0), (2, ts(5), 2.0), (3, ts(10), 3.0)],
+           mtime=time.time() - 60)
+    # batch 2: another redelivery of 3, plus new event 4
+    _write("c.parquet", [(3, ts(10), 3.0), (4, ts(12), 4.0)],
+           mtime=time.time() - 30)
+
+    q = stream_dedup(spark, str(src), str(tmp_path / "ckpt-dedup"),
+                     query_name="dedup_out", max_files_per_trigger=1)
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4], ids  # every event once, no redelivery twice
+
+
 def test_sessionize_stateful_gap_and_timeout(spark, tmp_path):
     """applyInPandasWithState sessionization: a within-stream gap closes a
     session immediately; a session that simply stops emitting closes when
