@@ -624,6 +624,183 @@ ORDER BY c_custkey
 """
 
 
+def rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via GROUP BY ROLLUP (region -> nation ->
+    grand total) — the multi-granularity lineage/metrics dashboard shape
+    (A4 generalized; Catalyst expands the rollup into one Expand + one
+    aggregate, a single shuffle for every granularity at once — at 100 TB
+    that replaces three separate scans of the fact table). Null grouping
+    keys from the rollup are labeled explicitly so the oracle's rows match
+    byte-for-byte."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))
+    r = tbl(spark, sf_dir, "region").select(
+        F.col("r_regionkey"), F.col("r_name"))
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    out = (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+             .alias("total_acctbal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+            "n_customers", "total_acctbal",
+        )
+        .orderBy("region", "nation")
+    )
+    return out
+
+
+ROLLUP_SQL = """
+SELECT coalesce(r_name, '<ALL>') AS region,
+       coalesce(n_name, '<ALL>') AS nation,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshape: per user-decile event counts pivoted by event
+    type — the feature-matrix assembly step (one row per entity, one
+    column per signal) every training pipeline runs before model input.
+    Spark's ``pivot`` with an EXPLICIT value list is a single hash
+    aggregate (map-side partial, no second pass to discover values — at
+    scale you always pin the pivot values for exactly that reason)."""
+    e = tbl(spark, sf_dir, "events")
+    decile = (F.col("user_id") % 10).cast("int").alias("user_decile")
+    out = (
+        e.select(decile, "event_type")
+        .groupBy("user_decile")
+        .pivot("event_type", ["click", "view", "purchase", "login", "logout"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_decile")
+    )
+    for c in out.columns:
+        if c != "user_decile":
+            out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS user_decile,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'login') AS login,
+       count(*) FILTER (event_type = 'logout') AS logout
+FROM events GROUP BY 1 ORDER BY user_decile
+"""
+
+
+def lag_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time deltas per user (lead/lag window): the
+    gap-analysis primitive behind sessionization thresholds and
+    rate-limit audits. One hash shuffle on user_id; the per-user sort is
+    partition-local. First event per user has no predecessor -> NULL
+    delta (kept, so downstream percentile math sees the cohort size)."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # exact integer microseconds on both engines (epoch-seconds functions
+    # truncate/round sub-second parts differently across engines); the
+    # stored type is TIMESTAMP_NTZ, so cast through the UTC session zone
+    # for unix_micros — a pure reinterpretation, no value shift
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        e.select(
+            "user_id", "event_id", "ts",
+            (us(F.col("ts")) - us(prev)).cast("long").alias("delta_us"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+LAG_DELTAS_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+            AS BIGINT) AS delta_us
+FROM events WHERE user_id < 100
+ORDER BY user_id, ts, event_id
+"""
+
+
+def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per event type —
+    the latency/size-distribution report shape. Spark's ``percentile``
+    (exact, linear interpolation) matches DuckDB's ``quantile_cont``
+    definition; results round to 6 dp for stable cross-engine comparison.
+    At corpus scale you swap in ``percentile_approx`` (t-digest) and lose
+    the exact oracle — this pins the exact semantics the sketch is
+    validated against."""
+    e = tbl(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 6).alias("p50"),
+            F.round(F.element_at("p", 2), 6).alias("p90"),
+            F.round(F.element_at("p", 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def except_all_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference via EXCEPT ALL (T1 with duplicate-count
+    semantics): event keys minus an already-processed subset, KEEPING
+    multiplicity — the bag-difference form of the resume diff that a
+    per-key anti-join cannot express (an anti-join drops every copy of a
+    matched key; EXCEPT ALL cancels copy-for-copy). The processed subset
+    is a deterministic predicate (never a LIMIT — row pick order differs
+    across engines/scans). Plans as one aggregate-style shuffle."""
+    e = tbl(spark, sf_dir, "events")
+    done = e.filter(
+        F.col("event_type").isin("click", "view") & (F.col("event_id") % 3 == 0)
+    ).select("user_id", "event_type")
+    return (
+        e.select("user_id", "event_type")
+        .exceptAll(done)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_remaining"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+EXCEPT_ALL_SQL = """
+WITH e AS (SELECT user_id, event_type FROM events),
+done AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ('click', 'view') AND event_id % 3 = 0
+),
+rem AS (SELECT * FROM e EXCEPT ALL SELECT * FROM done)
+SELECT user_id, event_type, count(*) AS n_remaining
+FROM rem GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lww_latest_event_per_user": (lww_latest_event_per_user, LWW_LATEST_SQL),
     "lww_via_window": (lww_via_window, LWW_LATEST_SQL),
@@ -647,4 +824,9 @@ QUERIES: dict[str, tuple] = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "enrich_left_coalesce": (enrich_left_coalesce, ENRICH_LEFT_SQL),
     "flatten_profile": (flatten_profile, FLATTEN_PROFILE_SQL),
+    "rollup_metrics": (rollup_metrics, ROLLUP_SQL),
+    "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
+    "lag_event_deltas": (lag_event_deltas, LAG_DELTAS_SQL),
+    "percentile_metrics": (percentile_metrics, PERCENTILE_SQL),
+    "except_all_unprocessed": (except_all_unprocessed, EXCEPT_ALL_SQL),
 }
