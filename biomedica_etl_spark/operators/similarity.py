@@ -313,6 +313,70 @@ ANN_IVF_SQL = _ivf_sql(1)
 ANN_IVF_NPROBE2_SQL = _ivf_sql(2)
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the approximate paths against the brute-force truth —
+    the evaluation loop that justifies shipping an ANN index at 100 TB
+    (you never deploy a bucketed index without measuring what the buckets
+    cost in recall). Per query: how many of the exact top-3 cosine
+    neighbors each approximate method recovered. Both sides are
+    deterministic, so the whole report is oracle-checkable — at corpus
+    scale you run the exact side on a sampled query set only."""
+    truth = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for method, fn in (("lsh_multiprobe", ann_lsh_multiprobe),
+                       ("ivf_nprobe2", ann_ivf_nprobe2)):
+        got = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            truth.join(got, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hits"))
+        )
+        rep = (
+            truth.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"), "query_id",
+                F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+                F.round(F.coalesce("n_hits", F.lit(0)) / 3.0, 6).alias("recall"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("method", "query_id")
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL}) t
+),
+mp AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_MULTIPROBE_SQL}) m),
+iv AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_NPROBE2_SQL}) i),
+qs AS (SELECT DISTINCT query_id FROM truth),
+h_mp AS (
+  SELECT t.query_id, count(*) AS n_hits FROM truth t
+  WHERE EXISTS (SELECT 1 FROM mp WHERE mp.query_id = t.query_id
+                AND mp.neighbor_id = t.neighbor_id)
+  GROUP BY t.query_id
+),
+h_iv AS (
+  SELECT t.query_id, count(*) AS n_hits FROM truth t
+  WHERE EXISTS (SELECT 1 FROM iv WHERE iv.query_id = t.query_id
+                AND iv.neighbor_id = t.neighbor_id)
+  GROUP BY t.query_id
+)
+SELECT method, query_id, n_hits, recall FROM (
+  SELECT 'lsh_multiprobe' AS method, qs.query_id,
+         CAST(coalesce(h_mp.n_hits, 0) AS INT) AS n_hits,
+         round(coalesce(h_mp.n_hits, 0) / 3.0, 6) AS recall
+  FROM qs LEFT JOIN h_mp ON h_mp.query_id = qs.query_id
+  UNION ALL
+  SELECT 'ivf_nprobe2' AS method, qs.query_id,
+         CAST(coalesce(h_iv.n_hits, 0) AS INT) AS n_hits,
+         round(coalesce(h_iv.n_hits, 0) / 3.0, 6) AS recall
+  FROM qs LEFT JOIN h_iv ON h_iv.query_id = qs.query_id
+)
+ORDER BY method, query_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_near_dup": (embedding_near_dup, NEAR_DUP_SQL),
@@ -320,4 +384,5 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL),
     "ann_ivf_coarse": (ann_ivf_coarse, ANN_IVF_SQL),
     "ann_ivf_nprobe2": (ann_ivf_nprobe2, ANN_IVF_NPROBE2_SQL),
+    "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
 }
