@@ -529,3 +529,35 @@ def compact(
         None, rewritten, snap["lsn_lo"], snap["lsn_hi"],
         {"commit_type": "compact", "buckets_rewritten": len(rewritten)},
     )
+
+
+def rebucket(
+    spark: SparkSession, table: CowTable, new_n_buckets: int,
+    shuffle_salts: int = 4, max_records_per_file: int = 0,
+) -> dict[str, Any]:
+    """Partition-spec evolution (Iceberg bucket-count change): rewrite the
+    whole table into ``new_n_buckets`` with the SAME single aligned
+    shuffle the merge uses — stored rows (base + any delta layers)
+    re-expressed as events, bucketed under the NEW spec, LWW-reduced
+    straight into the bucket-partitioned write. Tombstones are retained
+    (an out-of-order old batch must still lose to a rebucketed delete).
+    The new manifest records the new spec; older retained snapshots keep
+    theirs, so time travel and per-snapshot point-lookup pruning keep
+    working across the evolution. This is the maintenance op a growing
+    table runs when its bucket count stops matching its size — at 100 TB
+    it is one full-table shuffle, the same cost class as a full
+    compaction, amortized over the table's next growth epoch."""
+    snap = table.current_snapshot()
+    assert snap is not None, "create() first"
+    stored = table.read_stored_files(spark)
+    as_events = _base_as_changes(stored, new_n_buckets)
+    resolved = _to_stored(
+        lww_reduce_aligned(as_events, BUCKET_COL, new_n_buckets,
+                           shuffle_salts=shuffle_salts)
+    )
+    stage = table.new_data_dir()
+    _stage_writer(resolved, max_records_per_file).parquet(stage)
+    return table.commit_rebucket(
+        _written_dirs(stage), new_n_buckets, snap["lsn_lo"], snap["lsn_hi"],
+        {"from_n_buckets": snap["n_buckets"]},
+    )

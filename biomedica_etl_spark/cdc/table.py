@@ -400,6 +400,37 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    def commit_rebucket(
+        self,
+        rewritten: dict[int, str],
+        new_n_buckets: int,
+        lsn_lo: int | None,
+        lsn_hi: int | None,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Partition-spec-evolution commit: the FULL bucket map is replaced
+        and the manifest records the new bucket count. Older retained
+        snapshots keep their own spec (each manifest is self-contained),
+        so time travel across the rebucket keeps working."""
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": None,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "n_buckets": new_n_buckets,
+            "bucket_dirs": {
+                str(b): os.path.relpath(d, self.root)
+                for b, d in rewritten.items()
+            },
+            "delta_dirs": {},
+            "summary": {**(summary or {}), "commit_type": "rebucket"},
+        }
+        self._write_snapshot(snap)
+        return snap
+
     def read_conversation(
         self, spark: SparkSession, conv_id: str, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -409,12 +440,16 @@ class CowTable:
         (at 100 TB with 4096 buckets that is 1/4096th of the table), and
         the conv_id filter pushes down into that scan. The bucket is
         computed in-process (pure-Python xxhash64, pinned bit-identical to
-        the Spark expression) so NO Spark job runs before the pruned scan."""
+        the Spark expression) so NO Spark job runs before the pruned scan.
+        The bucket count comes from the RESOLVED snapshot's spec, so point
+        lookups stay correct across partition-spec evolution (rebucket)."""
         import pyspark.sql.functions as _F
 
         from .xxhash import bucket_of
 
-        bucket = bucket_of(conv_id, self.n_buckets)
+        snap = self._resolve_snapshot(snapshot_id)
+        bucket = bucket_of(conv_id, snap["n_buckets"] if snap
+                           else self.n_buckets)
         return (
             self.read(spark, buckets=[bucket], snapshot_id=snapshot_id)
             .filter(_F.col("conv_id") == conv_id)

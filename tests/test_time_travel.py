@@ -66,6 +66,44 @@ def test_read_conversation_prunes_to_one_bucket(spark, tmp_path):
     assert len(buckets_touched) <= 1
 
 
+def test_rebucket_spec_evolution(spark, tmp_path):
+    """Partition-spec evolution: rebucket 8 -> 16 preserves exact state,
+    point lookups prune under the NEW spec (and under the OLD spec for
+    time-travel reads), and ingest continues into the new bucket count."""
+    from biomedica_etl_spark.cdc.merge import rebucket
+    from biomedica_etl_spark.cdc.oracle import replay
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    runner.run(max_batches=3)
+    old_snap = runner.table.current_snapshot()["snapshot_id"]
+    state_before = [r.asDict() for r in runner.final_state().collect()]
+
+    snap = rebucket(spark, runner.table, 16)
+    assert snap["n_buckets"] == 16 and runner.table.n_buckets == 16
+    assert [r.asDict() for r in runner.final_state().collect()] == state_before
+    # point lookup prunes correctly under the new spec...
+    conv = state_before[len(state_before) // 2]["conv_id"]
+    got = [r.asDict() for r in
+           runner.table.read_conversation(spark, conv).collect()]
+    assert got == [r for r in state_before if r["conv_id"] == conv]
+    # ...and under the old spec for a time-travel read
+    got_old = [r.asDict() for r in
+               runner.table.read_conversation(spark, conv,
+                                              snapshot_id=old_snap).collect()]
+    assert got_old == got
+    # ingest continues into the evolved table and still matches the oracle
+    runner.run()
+    assert [r.asDict() for r in runner.final_state().collect()] == replay(log)
+    # the manifest's bucket map really spans 16 buckets now
+    cur = runner.table.current_snapshot()
+    assert cur["n_buckets"] == 16
+    all_buckets = {int(b) for b in cur["bucket_dirs"]} | {
+        int(b) for b in cur.get("delta_dirs", {})}
+    assert max(all_buckets) >= 8  # old spec capped at 7
+
+
 def test_rollback_reverts_state_keeps_fencing(spark, tmp_path):
     """table.rollback(id): a NEW snapshot with the target's file refs —
     live state reverts, history stays readable, fencing stays intact (no
