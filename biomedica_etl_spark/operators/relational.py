@@ -624,6 +624,52 @@ ORDER BY c_custkey
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table star join (fact lineitem/orders with
+    customer, supplier, nation, region dims + the local-supplier
+    same-nation predicate). The dims broadcast; the only repartition
+    shuffles are lineitem-orders on orderkey and the final tiny group —
+    Catalyst's join reordering + broadcast selection produce the plan a
+    hand-tuned engine would pick, which is the point of declaring it."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+           ).cast("decimal(28,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via GROUP BY ROLLUP (region -> nation ->
     grand total) — the multi-granularity lineage/metrics dashboard shape
@@ -824,6 +870,7 @@ QUERIES: dict[str, tuple] = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "enrich_left_coalesce": (enrich_left_coalesce, ENRICH_LEFT_SQL),
     "flatten_profile": (flatten_profile, FLATTEN_PROFILE_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "rollup_metrics": (rollup_metrics, ROLLUP_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "lag_event_deltas": (lag_event_deltas, LAG_DELTAS_SQL),
