@@ -26,9 +26,11 @@ work = tempfile.mkdtemp(prefix="prof-", dir="/dev/shm")
 wlog = _bench_log_dir(200_000, 2)
 CdcRunner(spark, wlog, os.path.join(work, "w"), n_buckets=N_BUCKETS, mode="mor",
           shuffle_salts=SHUFFLE_SALTS).run()
+PIPELINE = int(os.environ.get("PIPELINE", "1"))
 t0 = time.time()
 r = CdcRunner(spark, log, os.path.join(work, "t"), n_buckets=N_BUCKETS, mode="mor",
-              compact_every=4, shuffle_salts=SHUFFLE_SALTS)
+              compact_every=1_000_000, shuffle_salts=SHUFFLE_SALTS,
+              async_lineage=PIPELINE > 1, pipeline_depth=PIPELINE)
 r.run()
 wall = time.time() - t0
 print(f"TOTAL {wall:.2f}s", flush=True)

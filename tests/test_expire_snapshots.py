@@ -88,6 +88,19 @@ def test_fencing_survives_expiration_cold_restart(spark, tmp_path):
     assert colder.committed_batch_ids() == set(all_batches)
 
 
+def test_committed_ancestor_ranges_roundtrip_with_gaps():
+    """The persisted fencing state compresses to [lo,hi] runs and expands
+    back exactly, including singleton gaps and unordered input."""
+    from biomedica_etl_spark.cdc.table import _compress_ranges, _expand_ranges
+
+    ids = {7, 1, 2, 3, 10, 12, 13, 0}
+    ranges = _compress_ranges(ids)
+    assert ranges == [[0, 3], [7, 7], [10, 10], [12, 13]]
+    assert _expand_ranges(ranges) == ids
+    assert _compress_ranges(set()) == []
+    assert _expand_ranges([]) == set()
+
+
 def test_expire_noop_when_few_snapshots(spark, tmp_path):
     log = str(tmp_path / "log")
     generate_change_log(log, SCENARIOS["insert_only"])
