@@ -307,9 +307,15 @@ class CdcRunner:
         out = os.path.join(
             self.log_dir, f"schema_id={epoch}", f"batch_id={batch_id}"
         )
+        if os.path.exists(out):
+            raise ValueError(f"log dir for batch_id {batch_id} already exists")
+        # stage + atomic rename: a crash mid-write must never leave a
+        # partial batch dir that planned_batches would pick up and apply
+        stage = out + ".stage"
         align_to_target(fixed).select(*CHANGE_COLS).write.mode(
-            "errorifexists"
-        ).parquet(out)
+            "overwrite"
+        ).parquet(stage)
+        os.rename(stage, out)
 
     def read_lineage(self) -> DataFrame:
         """The per-(batch, bucket) metrics table — reconciles against
