@@ -717,9 +717,11 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long->wide reshape: per user-decile event counts pivoted by event
     type — the feature-matrix assembly step (one row per entity, one
     column per signal) every training pipeline runs before model input.
-    Spark's ``pivot`` with an EXPLICIT value list is a single hash
-    aggregate (map-side partial, no second pass to discover values — at
-    scale you always pin the pivot values for exactly that reason)."""
+    With an EXPLICIT value list there is no extra pass to discover the
+    pivot values (at scale you always pin them); Catalyst plans the pivot
+    as two map-side-partial aggregates — groupBy(key, pivot_col) counts,
+    then PivotFirst by key — both shuffles carrying only the tiny
+    aggregated relation."""
     e = tbl(spark, sf_dir, "events")
     decile = (F.col("user_id") % 10).cast("int").alias("user_decile")
     out = (
