@@ -41,6 +41,8 @@ _DIMS = 64
 
 _IDIST = ("cast(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
           "0L, (acc, d) -> acc + d) as bigint)")
+_IDOT = ("cast(aggregate(zip_with({a}, {b}, (p, q) -> p * q), 0L, "
+         "(acc, t) -> acc + t) as bigint)")
 
 
 def _int_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,10 +526,6 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x.unpersist()
     return out
-
-
-_IDOT = ("cast(aggregate(zip_with({a}, {b}, (p, q) -> p * q), 0L, "
-         "(acc, t) -> acc + t) as bigint)")
 
 
 def _pca_sql() -> str:

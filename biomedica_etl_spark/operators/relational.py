@@ -764,7 +764,9 @@ def lag_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate/round sub-second parts differently across engines); the
     # stored type is TIMESTAMP_NTZ, so cast through the UTC session zone
     # for unix_micros — a pure reinterpretation, no value shift
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
     return (
         e.select(
             "user_id", "event_id", "ts",
