@@ -50,7 +50,10 @@ SHUFFLE_SALTS = int(os.environ.get("SPARK_GRAFT_BENCH_SALTS", "8"))
 # (measured: 32-thread runs draw 10-20% steal, 16-thread runs none), so the
 # CDC section runs at min(CPUS, 16) in its own session; reported as cdc_cpus
 CDC_CPUS = min(CPUS, int(os.environ.get("SPARK_GRAFT_BENCH_CDC_CPUS", "16")))
-CDC_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# 4 attempts: this host's throttle bursts last minutes, so more attempts
+# = more wall-clock coverage = better odds that one lands in a clean
+# window (today's observed spread on identical runs: 14.2 s vs 146 s)
+CDC_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
 # micro-batch pipelining (MOR): overlap batch k+1's wide job with batch k's
 # commit + lineage read-back
 CDC_PIPELINE = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "2"))
