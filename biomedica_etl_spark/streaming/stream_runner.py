@@ -195,6 +195,50 @@ def stream_dedup(
     )
 
 
+def stream_enrich(
+    spark: SparkSession,
+    src_dir: str,
+    dim_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int = 1,
+):
+    """Stream-static enrichment: the reference's Entrez field-add
+    (``scripts/05_json_to_entrez.py:303-330``, SURVEY S8/J4) in streaming
+    form — each micro-batch of the event stream broadcast-joins a STATIC
+    dimension table (left outer, unmatched rows pass through with NULLs,
+    exactly the reference's tolerant enrichment). Spark re-plans the
+    static side per micro-batch, so a dim refresh between triggers is
+    picked up without restarting the query; the join never shuffles the
+    stream (broadcast, map-side)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    dim = spark.read.parquet(dim_path)  # static side, re-read per trigger
+    enriched = src.join(
+        F.broadcast(dim), src.event_id % 10 == dim.decile, "left_outer"
+    ).select("event_id", "ts", "value",
+             F.coalesce("label", F.lit("unknown")).alias("label"))
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     src_dir: str,

@@ -151,6 +151,40 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3, 4], ids  # every event once, no redelivery twice
 
 
+def test_stream_enrich_static_broadcast(spark, tmp_path):
+    """Stream-static left-outer enrichment: matched rows carry the dim
+    label, unmatched pass through with the default — per micro-batch,
+    no stream-side shuffle."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.streaming.stream_runner import stream_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+    pq.write_table(pa.table({
+        "event_id": pa.array([10, 11, 25], pa.int64()),
+        "ts": pa.array([base] * 3, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }), str(src / "a.parquet"))
+    dim = tmp_path / "dim"
+    pq.write_table(pa.table({
+        "decile": pa.array([0, 1], pa.int64()),
+        "label": pa.array(["zero", "one"], pa.string()),
+    }), str(tmp_path / "dim.parquet"))
+    del dim
+    q = stream_enrich(spark, str(src), str(tmp_path / "dim.parquet"),
+                      str(tmp_path / "ckpt-enrich"), query_name="enriched")
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["label"]
+            for r in spark.sql("SELECT * FROM enriched").collect()}
+    # 10 % 10 = 0 -> zero; 11 % 10 = 1 -> one; 25 % 10 = 5 -> no match
+    assert rows == {10: "zero", 11: "one", 25: "unknown"}
+
+
 def test_sessionize_stateful_gap_and_timeout(spark, tmp_path):
     """applyInPandasWithState sessionization: a within-stream gap closes a
     session immediately; a session that simply stops emitting closes when
