@@ -115,6 +115,18 @@ def test_pandas_normalize_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_cosine_topk_broadcasts_query_side(spark):
+    """The exact top-k baseline must plan as BroadcastNestedLoopJoin with
+    the small query side broadcast — one scan of the corpus against the
+    in-memory query block (linear in corpus for a fixed query set), never
+    a shuffled corpus-x-corpus cartesian."""
+    from biomedica_etl_spark.operators.similarity import cosine_topk
+
+    plan = _physical(cosine_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_token_budget_shards_no_global_window(spark):
     """The global running sum must be the two-pass prefix form: a range
     exchange spreads the order key over many partitions, every window is
