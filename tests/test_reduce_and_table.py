@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from biomedica_etl_spark.cdc.reduce import lww_reduce, lww_reduce_salted
 from biomedica_etl_spark.cdc.schema import target_change_schema
-from biomedica_etl_spark.cdc.table import BUCKET_COL, CowTable, bucket_expr
+from biomedica_etl_spark.cdc.table import CowTable, bucket_expr
 
 TS = dt.datetime(2025, 1, 1)
 

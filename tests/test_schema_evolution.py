@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
-from biomedica_etl_spark.cdc.runner import CdcRunner, read_batch
+from biomedica_etl_spark.cdc.runner import read_batch
 from biomedica_etl_spark.cdc.schema import CHANGE_COLS, SchemaRegistry, align_to_target
 
 from tests.conftest import run_and_compare
