@@ -149,19 +149,24 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(prior_cumsum/budget) so no shard exceeds budget + one document.
 
     Scale-safe two-pass prefix sum (NOT an unpartitioned window, which
-    moves the whole table to one task): (1) ``repartitionByRange`` on the
-    order key so each partition owns a contiguous doc_id range; (2) a tiny
-    per-partition total aggregation (one row per partition) whose exclusive
-    cumsum is computed DRIVER-side — O(partitions), not O(rows); (3) the
-    offsets broadcast-join back on partition id, and the within-partition
-    running sum is an ordinary partitionBy(pid) window. Every stage is
-    parallel over partitions; nothing global ever materializes on one task.
+    moves the whole table to one task): (1) every doc gets a DETERMINISTIC
+    contiguous range id ``pid = floor((doc_id - min_id) / width)`` — a
+    pure function of the key, monotone in the sort order; (2) a tiny
+    per-range total aggregation (one row per range) whose exclusive cumsum
+    is computed DRIVER-side — O(ranges), not O(rows); (3) the offsets
+    broadcast-join back on pid, and the within-range running sum is an
+    ordinary partitionBy(pid) window. Every stage is parallel over ranges;
+    nothing global ever materializes on one task.
 
-    Both passes re-evaluate the range exchange; Spark's RangePartitioner
-    samples with a seed derived from the partition index, so given the same
-    input files the boundaries are identical — and the RESULT is boundary-
-    independent anyway (the offset math reconstructs the exact global
-    prefix sum for any split).
+    Why not ``repartitionByRange`` + ``spark_partition_id``: Spark's
+    RangePartitioner samples with an RDD-id-dependent seed, so the totals
+    job and the final job can compute DIFFERENT boundaries and the
+    offsets silently misalign — this exact failure surfaced at sf0.1
+    while sf0.01 happened to sample identical boundaries. A pid that is a
+    pure function of the key makes both passes agree by construction.
+    Dense integer keys split evenly here; for sparse/skewed keys compute
+    the split points once with exact percentiles instead — the pid must
+    only be monotone and deterministic.
     """
     from pyspark.sql import Window
 
@@ -172,10 +177,13 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens")
     )
-    ranged = (
-        d.repartitionByRange(n_parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+                   ).collect()[0]
+    lo = int(bounds["lo"] or 0)
+    span = int(bounds["hi"] or 0) - lo + 1
+    width = max((span + n_parts - 1) // n_parts, 1)
+    ranged = d.withColumn(
+        "pid", F.floor((F.col("doc_id") - lo) / width).cast("int"))
     totals = sorted(
         (r["pid"], r["tot"])
         for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()

@@ -142,7 +142,9 @@ def test_token_budget_shards_no_global_window(spark):
     assert specs, plan  # the running sum is still a window...
     for s in specs:  # ...and every window spec starts with the pid key
         assert s.startswith("pid"), plan
-    assert "rangepartitioning(doc_id" in plan, plan
+    # the window's required distribution is a hash exchange on pid —
+    # many parallel range-partitions, never one global task
+    assert "hashpartitioning(pid" in plan, plan
     rows = df.collect()
     priors = [0] + list(accumulate(r["n_tokens"] for r in rows))[:-1]
     assert [r["cum_tokens"] for r in rows] == [
