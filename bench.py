@@ -189,11 +189,18 @@ def run_headline(spark) -> dict[str, float]:
     # on first execution and is not the steady-state number
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
+    # best of two timed passes per query: this host's steal bursts last
+    # seconds-to-minutes, so a single pass can catch one mid-query; the
+    # second full sweep costs ~25 s total and makes each number
+    # reproducible (same policy as the CDC section's best-of-N)
     out: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            sec = round(time.time() - t0, 3)
+            if name not in out or sec < out[name]:
+                out[name] = sec
     return out
 
 
