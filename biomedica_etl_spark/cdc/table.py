@@ -98,6 +98,7 @@ class CowTable:
         self._snaps_cache: list[dict[str, Any]] | None = None
         self._committed_cache: set[int] | None = None
         self._current_cache: dict[str, Any] | None = None
+        self._refs_cache: dict[str, int] | None = None
         self.manifest_reads = 0
 
     def refresh(self) -> None:
@@ -105,6 +106,7 @@ class CowTable:
         self._snaps_cache = None
         self._committed_cache = None
         self._current_cache = None
+        self._refs_cache = None
 
     # ---- metadata ----------------------------------------------------
     def create(self) -> None:
@@ -620,9 +622,130 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    # ---- named refs (tags) -------------------------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.snap_dir, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): name -> snapshot_id. Tags pin
+        retention — ``expire_snapshots`` never drops a tagged snapshot —
+        so 'audit-2026-08' or 'prod' stays time-travelable past the
+        rolling retention window."""
+        if self._refs_cache is None:
+            path = self._refs_path()
+            if os.path.exists(path):
+                self.manifest_reads += 1
+                with open(path) as f:
+                    self._refs_cache = {k: int(v) for k, v in json.load(f).items()}
+            else:
+                self._refs_cache = {}
+        return dict(self._refs_cache)
+
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a retained snapshot (default: current). Atomic publish of the
+        whole refs map, same write-temp+rename discipline as manifests."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+            assert snap is not None, "create() first"
+            snapshot_id = snap["snapshot_id"]
+        elif self.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"unknown snapshot_id {snapshot_id}")
+        refs = self.refs()
+        refs[name] = snapshot_id
+        self._atomic_write(self._refs_path(), json.dumps(refs))
+        self._refs_cache = refs
+        return snapshot_id
+
+    def remove_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name in refs:
+            del refs[name]
+            self._atomic_write(self._refs_path(), json.dumps(refs))
+            self._refs_cache = refs
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag to its snapshot_id (for ``read(snapshot_id=...)``,
+        ``diff``, ``rollback``)."""
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}; have {sorted(refs)}")
+        return refs[name]
+
+    # ---- maintenance -------------------------------------------------
+    def files(self, spark: SparkSession,
+              snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg ``files`` metadata-table analogue: one row per live data
+        file of a snapshot (bucket, base/delta kind, layer, path, bytes,
+        parquet-footer row count). Driver-side metadata + footer reads
+        only — no Spark scan of the data. The ops view behind size-based
+        compaction policies and storage audits."""
+        import pyarrow.parquet as pq
+
+        snap = self._resolve_snapshot(snapshot_id)
+        schema = T.StructType([
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("layer", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("file_bytes", T.LongType()),
+            T.StructField("num_rows", T.LongType()),
+        ])
+        rows: list[tuple] = []
+        if snap:
+            per_bucket: list[tuple[int, str, int, str]] = []
+            for b, d in snap.get("bucket_dirs", {}).items():
+                per_bucket.append((int(b), "base", 0, d))
+            for b, dirs in snap.get("delta_dirs", {}).items():
+                for layer, d in enumerate(dirs, start=1):
+                    per_bucket.append((int(b), "delta", layer, d))
+            for bucket, kind, layer, d in per_bucket:
+                for p in sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))):
+                    rows.append((
+                        bucket, kind, layer, os.path.relpath(p, self.root),
+                        os.path.getsize(p), pq.ParquetFile(p).metadata.num_rows,
+                    ))
+        return spark.createDataFrame(rows, schema)
+
+    def remove_orphaned_files(self, grace_seconds: float = 3600.0) -> dict[str, int]:
+        """Iceberg ``remove_orphan_files`` analogue: delete data dirs that no
+        retained snapshot references AND whose mtime is older than
+        ``grace_seconds`` — i.e. staging dirs a crashed writer abandoned.
+
+        Unlike ``expire_snapshots``'s dir sweep (which assumes no writer is
+        mid-commit), the grace period makes this safe to run ALONGSIDE
+        ingest: an in-flight writer's staging dir is newer than any sane
+        grace window, so it is never touched; only dirs that have sat
+        unreferenced for the full window go. Same contract Iceberg
+        documents for orphan GC on a live table."""
+        import shutil
+        import time as _time
+
+        live: set[str] = set()
+        for snap in self.snapshots():
+            for key in ("bucket_dirs", "delta_dirs"):
+                for d in self._dirs_for(snap, key, None):
+                    live.add(os.path.normpath(d))
+        now = _time.time()
+        removed = 0
+        for entry in sorted(os.listdir(self.data_dir)):
+            rel = os.path.normpath(os.path.join("data", entry))
+            full = os.path.join(self.data_dir, entry)
+            if any(ref == rel or ref.startswith(rel + os.sep) for ref in live):
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except FileNotFoundError:
+                continue
+            if age < grace_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        return {"dirs_removed": removed}
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiration: drop all but the newest
-        ``keep_last`` manifests, then delete data dirs no retained snapshot
+        ``keep_last`` manifests (tagged snapshots — see ``set_tag`` — are
+        pinned and never expire), then delete data dirs no retained snapshot
         references. Time travel keeps working for retained snapshots;
         immutable files mean expiration never touches live data. Assumes
         the single-writer discipline the commit protocol already requires
@@ -641,7 +764,16 @@ class CowTable:
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return {"snapshots_removed": 0, "dirs_removed": 0}
-        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # tagged snapshots are pinned: a named ref (audit tag, 'prod')
+        # keeps its snapshot time-travelable past the rolling window
+        tagged = set(self.refs().values())
+        window = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        retained = [s for s in snaps
+                    if s["snapshot_id"] in window or s["snapshot_id"] in tagged]
+        expired = [s for s in snaps if s["snapshot_id"] not in
+                   {r["snapshot_id"] for r in retained}]
+        if not expired:
+            return {"snapshots_removed": 0, "dirs_removed": 0}
         # fold the expiring commits' batch ids (and previously folded
         # ancestors) into the oldest retained manifest, atomically, BEFORE
         # any deletion — a crash mid-expiration can only leave extra
@@ -686,7 +818,9 @@ class CowTable:
         # batch ids, and cold processes recover them from the
         # committed_ancestors ranges persisted above.
         if self._snaps_cache is not None:
-            self._snaps_cache = self._snaps_cache[-keep_last:]
+            keep_ids = {r["snapshot_id"] for r in retained}
+            self._snaps_cache = [s for s in self._snaps_cache
+                                 if s["snapshot_id"] in keep_ids]
         return {"snapshots_removed": len(expired), "dirs_removed": removed_dirs}
 
     def max_delta_layers(self) -> int:
