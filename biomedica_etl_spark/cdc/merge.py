@@ -202,8 +202,21 @@ def _layer_bucket_metrics(
 def _stage_writer(df: DataFrame, max_records_per_file: int):
     """Bucket-partitioned stage write with optional per-file row cap (the
     reference's shard-size discipline, O7 — at scale you cap data-file size
-    so downstream scans get uniform splits and object stores stay happy)."""
-    w = df.write.mode("overwrite")
+    so downstream scans get uniform splits and object stores stay happy).
+
+    Rows are locally sorted by (conv_id, turn_idx) inside each shuffle
+    partition before writing — Iceberg's write sort-order discipline, at
+    zero shuffle cost (``sortWithinPartitions`` never exchanges). Every
+    parquet row group then carries tight, ordered conv_id min/max stats,
+    so a point lookup's pushed-down ``conv_id = X`` predicate skips all
+    but ~one row group per file instead of decoding the whole file; runs
+    of equal conv_id also dictionary/RLE-compress better. With a row cap,
+    the files a single task splits into cover disjoint key ranges (file
+    -level pruning among them); files from different salt tasks of the
+    same bucket interleave conv_ids by design — salting trades that for
+    spreading a hot bucket's write."""
+    w = (df.sortWithinPartitions(BUCKET_COL, "conv_id", "turn_idx")
+         .write.mode("overwrite"))
     if max_records_per_file > 0:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     return w.partitionBy(BUCKET_COL)
@@ -528,6 +541,80 @@ def compact(
     return table.commit(
         None, rewritten, snap["lsn_lo"], snap["lsn_hi"],
         {"commit_type": "compact", "buckets_rewritten": len(rewritten)},
+    )
+
+
+def rewrite_small_files(
+    spark: SparkSession, table: CowTable,
+    target_file_bytes: int = 128 << 20, min_files: int = 2,
+    shuffle_salts: int = 1,
+) -> dict[str, Any] | None:
+    """Iceberg ``rewrite_data_files`` (bin-pack) analogue: coalesce buckets
+    fragmented into many small files — the object-store small-files
+    problem that salting and per-file row caps create by design — back
+    into ~target-sized files, folding any delta layers in along the way.
+
+    Candidate selection is driver-side metadata only (file sizes + footer
+    row counts from the snapshot's dirs; no Spark job): a bucket
+    qualifies when it holds >= ``min_files`` data files each under half
+    the target. The rewrite is the same single-shuffle aligned LWW plan
+    as compaction (tombstones retained — a late lower-lsn batch must
+    still lose to a rewritten delete), but with ``shuffle_salts=1`` by
+    default: bin-packing cold fragmented buckets wants exactly one writer
+    task per bucket so the output actually coalesces; hot-bucket
+    spreading is the ingest trade, not the maintenance one. The per-file
+    row cap is derived from the candidates' observed compressed
+    bytes/row, so output files land near the byte target.
+
+    Reference analogue: the fixed-size output re-shard pass in
+    ``scripts/06_serilaize_to_webdataset_parallel.py:214-219``, done here
+    as a table maintenance op under the normal commit protocol."""
+    import pyarrow.parquet as pq
+
+    snap = table.current_snapshot()
+    if not snap:
+        return None
+    dirs: dict[int, list[str]] = {}
+    for b, d in snap.get("bucket_dirs", {}).items():
+        dirs.setdefault(int(b), []).append(d)
+    for b, ds in snap.get("delta_dirs", {}).items():
+        dirs.setdefault(int(b), []).extend(ds)
+    half = max(1, target_file_bytes // 2)
+    buckets: list[int] = []
+    cand_bytes = cand_rows = 0
+    for b, ds in sorted(dirs.items()):
+        paths = [p for d in ds
+                 for p in glob.glob(os.path.join(table.root, d, "*.parquet"))]
+        sizes = [os.path.getsize(p) for p in paths]
+        if len([s for s in sizes if s < half]) >= min_files:
+            buckets.append(b)
+            cand_bytes += sum(sizes)
+            cand_rows += sum(pq.ParquetFile(p).metadata.num_rows
+                             for p in paths)
+    if not buckets or cand_rows == 0:
+        return None
+    bytes_per_row = max(1.0, cand_bytes / cand_rows)
+    cap = max(1, int(target_file_bytes / bytes_per_row))
+    stored = table.read_stored_files(spark, buckets=buckets)
+    as_events = _base_as_changes(stored, table.n_buckets)
+    resolved = _to_stored(
+        lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
+                           shuffle_salts=shuffle_salts)
+    )
+    stage = table.new_data_dir()
+    _stage_writer(resolved, cap).parquet(stage)
+    rewritten = _written_dirs(stage)
+    for b in buckets:
+        if b not in rewritten:
+            empty = os.path.join(stage, f"{BUCKET_COL}={b}")
+            os.makedirs(empty, exist_ok=True)
+            rewritten[b] = empty
+    return table.commit(
+        None, rewritten, snap["lsn_lo"], snap["lsn_hi"],
+        {"commit_type": "rewrite-small-files",
+         "buckets_rewritten": len(rewritten),
+         "target_file_bytes": target_file_bytes,
+         "max_records_per_file": cap},
     )
 
 

@@ -134,3 +134,109 @@ def test_files_metadata_table_matches_stored_rows(spark, tmp_path):
     first_commit = table.snapshots()[1]["snapshot_id"]
     fm_old = table.files(spark, snapshot_id=first_commit).collect()
     assert sum(r.num_rows for r in fm_old) <= stored
+
+
+def test_write_sort_order_yields_ordered_row_group_stats(spark, tmp_path):
+    """Iceberg write sort-order: every data file is locally sorted by
+    (conv_id, turn_idx), so parquet row-group min/max stats on conv_id are
+    tight and ordered — the physical property behind row-group pruning of
+    the pushed-down point-lookup predicate. With a per-file row cap, the
+    files one TASK splits into cover non-overlapping key ranges (files
+    from different salt tasks interleave conv_ids by design)."""
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(
+        spark, log, str(tmp_path / "t"), n_buckets=4, mode="cow",
+        max_records_per_file=40,
+    )
+    runner.run()
+    table = runner.table
+
+    files = [r.path for r in table.files(spark).collect() if r.kind == "base"]
+    assert files
+    split_seen = False
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(table.root, rel))
+        names = pf.schema_arrow.names
+        ci = names.index("conv_id")
+        prev = None
+        for g in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(g)
+            s_c = rg.column(ci).statistics
+            assert s_c is not None and s_c.has_min_max
+            assert s_c.min <= s_c.max
+            # row groups are ordered on the sort key: each group's conv_id
+            # min is >= the previous group's max (a point predicate hits
+            # at most one contiguous run of groups)
+            if prev is not None:
+                assert s_c.min >= prev
+            prev = s_c.max
+    # the row cap split at least one task's output into several files, and
+    # the splits of one task cover disjoint (conv_id, turn_idx) ranges
+    # (file-level pruning among them); different salt tasks interleave
+    by_task: dict = {}
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(table.root, rel))
+        m = pf.metadata
+        ci = pf.schema_arrow.names.index("conv_id")
+        lo = min(m.row_group(g).column(ci).statistics.min
+                 for g in range(m.num_row_groups))
+        hi = max(m.row_group(g).column(ci).statistics.max
+                 for g in range(m.num_row_groups))
+        task = (os.path.dirname(rel),
+                os.path.basename(rel).split("-")[1])
+        by_task.setdefault(task, []).append((lo, hi))
+    for spans in by_task.values():
+        if len(spans) > 1:
+            split_seen = True
+            spans.sort()
+            # at most the single boundary conv_id is shared between
+            # consecutive splits (a conversation cut mid-file)
+            for (_, h1), (l2, _) in zip(spans, spans[1:]):
+                assert h1 <= l2
+    assert split_seen, "expected maxRecordsPerFile to split some task output"
+
+
+def test_rewrite_small_files_binpack(spark, tmp_path):
+    """Size-based bin-pack: fragmented buckets coalesce to ~one file each,
+    resolved state is bit-identical, untouched buckets keep their dirs,
+    and the op is idempotent (a coalesced bucket no longer qualifies)."""
+    from biomedica_etl_spark.cdc.merge import rewrite_small_files
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    # fragment hard: salted writer + tiny per-file row cap
+    runner = CdcRunner(
+        spark, log, str(tmp_path / "t"), n_buckets=4, mode="cow",
+        max_records_per_file=25, shuffle_salts=4,
+    )
+    runner.run()
+    table = runner.table
+    before = _state(spark, table)
+    files_before = table.files(spark).collect()
+    n_before = len(files_before)
+    assert n_before > 8, "expected fragmentation"
+
+    snap = rewrite_small_files(spark, table, target_file_bytes=1 << 30)
+    assert snap is not None
+    assert snap["summary"]["commit_type"] == "rewrite-small-files"
+
+    files_after = table.files(spark).collect()
+    # every candidate bucket coalesced to a single file
+    per_bucket: dict = {}
+    for r in files_after:
+        per_bucket.setdefault(r.bucket, []).append(r)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    assert len(files_after) < n_before
+    # resolved state identical, oracle-checked
+    assert _state(spark, table) == before == replay(log)
+    # row conservation through the rewrite (tombstones retained is pinned
+    # by compaction tests; here stored rows == resolved + tombstones)
+    assert sum(r.num_rows for r in files_after) >= len(before)
+    # idempotent: one big file per bucket no longer qualifies
+    assert rewrite_small_files(spark, table, target_file_bytes=1 << 30) is None
+    # time travel to the pre-rewrite snapshot still sees the old layout
+    old = table.files(spark, snapshot_id=snap["parent_id"]).collect()
+    assert len(old) == n_before
