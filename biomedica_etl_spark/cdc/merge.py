@@ -258,11 +258,18 @@ def merge_batch(
     lineage_executor: Any = None,
     quarantine_dir: str | None = None,
     max_records_per_file: int = 0,
+    wap: bool = False,
 ) -> dict[str, Any] | None:
     """COW MERGE of one micro-batch as one commit.
 
     Returns the committed snapshot dict, or None when batch_id was already
     applied (exactly-once no-op).
+
+    ``wap=True`` (write-audit-publish): the commit is STAGED — invisible
+    to readers and fencing until ``table.publish_staged()``; lineage
+    emission is deferred to publish (the per-bucket rows ride back on the
+    returned dict under ``_lineage_rows``), so an aborted batch leaves no
+    lineage.
     """
     if table.is_committed(batch_id):
         return None
@@ -286,10 +293,10 @@ def merge_batch(
                  default=None)
         hi = max((r["lsn_hi"] for r in stats_rows if r["lsn_hi"] is not None),
                  default=None)
-        table.commit(batch_id, {}, lo, hi,
-                     {"rows_upserted": 0, "rows_deleted": 0,
-                      "rows_quarantined": quarantined})
-        return table.current_snapshot()
+        snap = table.commit(batch_id, {}, lo, hi,
+                            {"rows_upserted": 0, "rows_deleted": 0,
+                             "rows_quarantined": quarantined}, staged=wap)
+        return snap if wap else table.current_snapshot()
     # a bucket whose events all carry null lsn aggregates F.min to None —
     # keep the bounds computable when such buckets mix with valid ones
     lsn_lo = min(r["lsn_lo"] for r in stats_rows if r["lsn_lo"] is not None)
@@ -353,7 +360,12 @@ def merge_batch(
             "rows_quarantined": quarantined,
             "buckets_rewritten": len(rewritten),
         },
+        staged=wap,
     )
+    if wap and snap is not None:
+        # lineage deferred to publish: rows ride back in-memory only
+        snap = {**snap, "_lineage_rows": stats_rows}
+        return snap
     if snap is not None and lineage_dir is not None:
         if lineage_executor is not None:
             lineage_executor.submit(
@@ -420,13 +432,18 @@ def mor_commit_staged(
     staged: dict[str, Any],
     lineage_dir: str | None = None,
     lineage_executor: Any = None,
+    wap: bool = False,
 ) -> dict[str, Any] | None:
-    """Publish a staged MOR layer: snapshot commit + lineage emit."""
+    """Publish a staged MOR layer: snapshot commit + lineage emit.
+    ``wap=True``: the snapshot commit itself is STAGED for audit (see
+    ``merge_batch``); lineage rows are computed eagerly and ride back on
+    the returned dict for the runner to emit at publish."""
     batch_id, stage, raw = staged["batch_id"], staged["stage"], staged["raw"]
     written = staged["written"]
     if raw["offsets_applied"] == 0:
         return table.commit_delta(batch_id, {}, None, None,
-                                  {"rows_upserted": 0, "rows_deleted": 0})
+                                  {"rows_upserted": 0, "rows_deleted": 0},
+                                  staged=wap)
     snap = table.commit_delta(
         batch_id,
         written,
@@ -441,7 +458,16 @@ def mor_commit_staged(
             "offsets_applied": raw["offsets_applied"],
             "buckets_appended": len(written),
         },
+        staged=wap,
     )
+    if wap:
+        if snap is not None and written:
+            # lineage deferred to publish: compute the O(delta) read-back
+            # now (the layer files exist), emit only if the audit passes
+            snap = {**snap,
+                    "_lineage_rows": _layer_bucket_metrics(spark, stage,
+                                                           batch_id)}
+        return snap
     # written == {} means every offset was consumed but zero valid rows
     # survived (all quarantined): the commit above records the offset range,
     # and there is no layer to derive lineage from
@@ -474,6 +500,7 @@ def mor_apply_batch(
     lineage_executor: Any = None,
     quarantine_dir: str | None = None,
     max_records_per_file: int = 0,
+    wap: bool = False,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
@@ -492,7 +519,7 @@ def mor_apply_batch(
     if staged is None:
         return None
     return mor_commit_staged(spark, table, staged, lineage_dir=lineage_dir,
-                             lineage_executor=lineage_executor)
+                             lineage_executor=lineage_executor, wap=wap)
 
 
 def compact(

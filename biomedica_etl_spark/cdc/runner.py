@@ -27,6 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from .checkpoint import pending_batches, planned_batches
+from .lineage import append_lineage
 from .merge import (
     compact,
     merge_batch,
@@ -80,6 +81,11 @@ def read_batch(
 class RunResult:
     batches_applied: list[int] = field(default_factory=list)
     batches_skipped: list[int] = field(default_factory=list)
+    # write-audit-publish: batches whose staged commit the audit gate
+    # rejected; they were aborted, stay UNcommitted, and replay after
+    # remediation (reason strings parallel the ids)
+    batches_rejected: list[int] = field(default_factory=list)
+    reject_reasons: list[str] = field(default_factory=list)
     rows_upserted: int = 0
     rows_deleted: int = 0
 
@@ -100,6 +106,7 @@ class CdcRunner:
         async_lineage: bool = False,
         pipeline_depth: int = 1,
         max_records_per_file: int = 0,
+        audit: Any = None,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -133,6 +140,16 @@ class CdcRunner:
         if pipeline_depth > 1 and mode != "mor":
             raise ValueError("pipeline_depth > 1 requires mode='mor' "
                              "(COW batches read the previous batch's output)")
+        # write-audit-publish: audit(spark, table) -> bool | (bool, reason)
+        # runs against table.read(spark, snapshot_id="staged") after each
+        # batch's STAGED commit; True publishes (fencing engages then),
+        # False aborts — the batch stays pending for remediation. An audit
+        # gate serializes commits by construction, so it is incompatible
+        # with pipelined staging.
+        if audit is not None and pipeline_depth > 1:
+            raise ValueError("audit gating requires pipeline_depth=1 "
+                             "(publish/abort must interleave with commits)")
+        self.audit = audit
         self.pipeline_depth = pipeline_depth
         # O7 shard sizing: cap rows per written data file (0 = uncapped)
         self.max_records_per_file = max_records_per_file
@@ -178,7 +195,28 @@ class CdcRunner:
                 lineage_executor=self._lineage_pool,
                 quarantine_dir=self.quarantine_dir,
                 max_records_per_file=self.max_records_per_file,
+                wap=self.audit is not None,
             )
+            if self.audit is not None and snap is not None:
+                verdict = self.audit(self.spark, self.table)
+                ok, reason = (verdict if isinstance(verdict, tuple)
+                              else (bool(verdict), ""))
+                if not ok:
+                    self.table.abort_staged()
+                    result.batches_rejected.append(batch_id)
+                    result.reject_reasons.append(reason)
+                    continue
+                pub = self.table.publish_staged()
+                rows = snap.get("_lineage_rows")
+                if rows:
+                    if self._lineage_pool is not None:
+                        self._lineage_pool.submit(
+                            append_lineage, self.lineage_dir, rows,
+                            snapshot_id=pub["snapshot_id"])
+                    else:
+                        append_lineage(self.lineage_dir, rows,
+                                       snapshot_id=pub["snapshot_id"])
+                snap = pub
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
                 compact(self.spark, self.table,
                         shuffle_salts=self.shuffle_salts,

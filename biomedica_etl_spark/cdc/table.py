@@ -274,13 +274,22 @@ class CowTable:
             files.extend(sorted(glob.glob(os.path.join(self.root, d, "*.parquet"))))
         return files
 
-    def _resolve_snapshot(self, snapshot_id: int | None) -> dict[str, Any] | None:
+    def _resolve_snapshot(
+        self, snapshot_id: int | str | None
+    ) -> dict[str, Any] | None:
         """None = current; an explicit id time-travels — every snapshot
         manifest is self-contained (full bucket map), so reading table
         state as of any retained commit is just resolving from that
-        manifest, Iceberg-style."""
+        manifest, Iceberg-style. The string ``"staged"`` resolves the
+        pending write-audit-publish snapshot — the view an audit gate
+        validates before ``publish_staged`` makes it the table state."""
         if snapshot_id is None:
             return self.current_snapshot()
+        if snapshot_id == "staged":
+            snap = self.staged_snapshot()
+            if snap is None:
+                raise ValueError("no staged snapshot pending audit")
+            return snap
         snap = self.snapshot_by_id(snapshot_id)
         if snap is None:
             raise ValueError(f"unknown snapshot_id {snapshot_id}")
@@ -343,10 +352,18 @@ class CowTable:
         lsn_lo: int | None,
         lsn_hi: int | None,
         summary: dict[str, Any] | None = None,
+        staged: bool = False,
     ) -> dict[str, Any] | None:
         """Publish a snapshot: rewritten buckets point at new dirs, all other
         buckets carry forward the parent's dirs. Returns the new snapshot, or
-        None if the batch_id was already committed (fencing no-op)."""
+        None if the batch_id was already committed (fencing no-op).
+
+        ``staged=True`` is the write half of write-audit-publish (Iceberg
+        WAP): the snapshot is written to a side manifest that readers,
+        fencing, and the snapshot chain never see — ``publish_staged``
+        promotes it (fencing engages THEN), ``abort_staged`` discards it
+        and its data dirs. The staged batch stays replayable until
+        published."""
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
         if batch_id is not None and self.is_committed(batch_id):
@@ -368,6 +385,8 @@ class CowTable:
             "delta_dirs": delta_dirs,
             "summary": summary or {},
         }
+        if staged:
+            return self._write_staged(snap)
         self._write_snapshot(snap)
         return snap
 
@@ -378,9 +397,11 @@ class CowTable:
         lsn_lo: int | None,
         lsn_hi: int | None,
         summary: dict[str, Any] | None = None,
+        staged: bool = False,
     ) -> dict[str, Any] | None:
         """Merge-on-read commit: append a delta layer per bucket; base files
-        untouched. O(delta) write cost — the ingest-optimized path."""
+        untouched. O(delta) write cost — the ingest-optimized path.
+        ``staged=True``: write-audit-publish, see ``commit``."""
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
         if batch_id is not None and self.is_committed(batch_id):
@@ -399,8 +420,106 @@ class CowTable:
             "delta_dirs": delta_dirs,
             "summary": {**(summary or {}), "commit_type": "append-delta"},
         }
+        if staged:
+            return self._write_staged(snap)
         self._write_snapshot(snap)
         return snap
+
+    # ---- write-audit-publish (Iceberg WAP) ---------------------------
+    def _staged_path(self) -> str:
+        # deliberately NOT matching the snap-*.json chain glob: a staged
+        # snapshot is invisible to readers, fencing, expiration, and GC's
+        # live-set until published
+        return os.path.join(self.snap_dir, "staged.json")
+
+    def _write_staged(self, snap: dict[str, Any]) -> dict[str, Any]:
+        live = self.staged_snapshot()
+        if live is not None and live["batch_id"] != snap["batch_id"]:
+            raise RuntimeError(
+                f"a staged snapshot for batch {live['batch_id']} is pending "
+                "audit — publish_staged() or abort_staged() first"
+            )
+        # same batch restaged (crash between stage and publish, then
+        # replay): overwrite; the old attempt's dirs become orphans that
+        # remove_orphaned_files collects
+        snap = dict(snap)
+        snap["staged"] = True
+        self._atomic_write(self._staged_path(), json.dumps(
+            {k: v for k, v in snap.items() if not k.startswith("_")}))
+        return snap
+
+    def staged_snapshot(self) -> dict[str, Any] | None:
+        """The pending-audit snapshot, or None. A staged file whose parent
+        is no longer the table head is STALE (its batch either published
+        under a new id or the chain moved on) and reads as absent."""
+        path = self._staged_path()
+        if not os.path.exists(path):
+            return None
+        self.manifest_reads += 1
+        with open(path) as f:
+            snap = json.load(f)
+        head = self.current_snapshot()
+        if head is None or snap.get("parent_id") != head["snapshot_id"]:
+            return None
+        return snap
+
+    def publish_staged(self) -> dict[str, Any] | None:
+        """Promote the staged snapshot into the manifest chain (the audit
+        passed). Fencing engages here — the batch id becomes committed —
+        and the published snapshot keeps the id the stage reserved, so
+        time-travel ids stay dense. Returns the published snapshot, or
+        None if nothing (live) is staged. Crash-safe: a crash between the
+        chain write and the side-file cleanup leaves a stale staged file
+        that reads as absent and is overwritten by the next stage."""
+        snap = self.staged_snapshot()
+        if snap is None:
+            return None
+        pub = {k: v for k, v in snap.items() if k != "staged"}
+        pub["summary"] = {**pub.get("summary", {}), "wap_published": True}
+        self._write_snapshot(pub)
+        try:
+            os.remove(self._staged_path())
+        except FileNotFoundError:
+            pass
+        return pub
+
+    def abort_staged(self) -> dict[str, Any]:
+        """Discard the staged snapshot (the audit failed): delete the side
+        manifest and every data dir the staged snapshot references that
+        its parent does not. The batch id was never committed, so the
+        batch stays pending and replays after remediation."""
+        import shutil as _shutil
+
+        snap = self.staged_snapshot()
+        stale = not snap and os.path.exists(self._staged_path())
+        if snap is None:
+            if stale:
+                os.remove(self._staged_path())
+            return {"aborted": False, "dirs_removed": 0}
+        parent = self.snapshot_by_id(snap["parent_id"])
+        parent_dirs = set(parent["bucket_dirs"].values()) | {
+            d for ds in parent.get("delta_dirs", {}).values() for d in ds
+        }
+        staged_dirs = set(snap["bucket_dirs"].values()) | {
+            d for ds in snap.get("delta_dirs", {}).values() for d in ds
+        }
+        # remove the whole stage ROOT (data/<snap-...>) of each new dir,
+        # not just the bucket=N subdirs the manifest references — a stage
+        # root belongs to exactly one commit attempt, so once no parent
+        # dir lives under it, the root (and its _SUCCESS marker) goes too
+        roots = set()
+        for d in staged_dirs - parent_dirs:
+            parts = os.path.normpath(d).split(os.sep)
+            roots.add(os.sep.join(parts[:2]) if len(parts) > 1 else d)
+        removed = 0
+        for root in sorted(roots):
+            if any(os.path.normpath(p).startswith(root + os.sep) or
+                   os.path.normpath(p) == root for p in parent_dirs):
+                continue
+            _shutil.rmtree(os.path.join(self.root, root), ignore_errors=True)
+            removed += 1
+        os.remove(self._staged_path())
+        return {"aborted": True, "dirs_removed": removed}
 
     def commit_rebucket(
         self,
