@@ -199,7 +199,8 @@ def _layer_bucket_metrics(
     ]
 
 
-def _stage_writer(df: DataFrame, max_records_per_file: int):
+def _stage_writer(df: DataFrame, max_records_per_file: int,
+                  sort_exprs: list | None = None):
     """Bucket-partitioned stage write with optional per-file row cap (the
     reference's shard-size discipline, O7 — at scale you cap data-file size
     so downstream scans get uniform splits and object stores stay happy).
@@ -214,8 +215,13 @@ def _stage_writer(df: DataFrame, max_records_per_file: int):
     the files a single task splits into cover disjoint key ranges (file
     -level pruning among them); files from different salt tasks of the
     same bucket interleave conv_ids by design — salting trades that for
-    spreading a hot bucket's write."""
-    w = (df.sortWithinPartitions(BUCKET_COL, "conv_id", "turn_idx")
+    spreading a hot bucket's write.
+
+    ``sort_exprs`` overrides the local sort key (still zero-shuffle):
+    ``rewrite_zorder`` passes the interleaved-bit curve expression here."""
+    sort_exprs = sort_exprs if sort_exprs is not None else [
+        F.col("conv_id"), F.col("turn_idx")]
+    w = (df.sortWithinPartitions(F.col(BUCKET_COL), *sort_exprs)
          .write.mode("overwrite"))
     if max_records_per_file > 0:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -642,6 +648,107 @@ def rewrite_small_files(
          "buckets_rewritten": len(rewritten),
          "target_file_bytes": target_file_bytes,
          "max_records_per_file": cap},
+    )
+
+
+def _zorder_curve(ts_rank, key_rank, bits: int):
+    """Interleaved-bit (Morton) curve over two ``bits``-wide long ranks —
+    pure JVM bit arithmetic (shiftright/and/shiftleft/or), one
+    whole-stage-codegen expression, no UDF. ``ts_rank`` takes the odd
+    (higher) bit positions so equal-width steps of either dimension move
+    the curve comparably."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ts_rank, i).bitwiseAND(F.lit(1)),
+                        2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(key_rank, i).bitwiseAND(F.lit(1)),
+                        2 * i)
+        )
+    return z
+
+
+def rewrite_zorder(
+    spark: SparkSession, table: CowTable,
+    bits: int = 16, shuffle_salts: int = 1,
+    max_records_per_file: int = 0, buckets: list[int] | None = None,
+) -> dict[str, Any] | None:
+    """Iceberg ``rewrite_data_files(strategy => 'sort', sort_order =>
+    'zorder(ts, conv_id)')`` analogue: rewrite data files locally ordered
+    along a Morton curve over (ts, conv_id), so parquet row-group min/max
+    stats are tight on BOTH dimensions at once — time-range scans (the
+    change-feed / "transcripts since T" queries) and conv_id point lookups
+    each skip most row groups of the same files. The default write sort
+    (conv_id, turn_idx) is perfect for point lookups but scatters ts;
+    Z-order is the maintenance trade when both access paths matter.
+
+    Plan shape is identical to compaction — one aligned LWW shuffle
+    folding any delta layers, tombstones retained — plus one cheap
+    column-pruned (min,max,count) pass over ``ts`` to fix the linear rank
+    scale (parquet footer stats answer it without decoding pages). The
+    conv_id dimension ranks by ``pmod(xxhash64, 2^bits)``: uniform by
+    construction, no stats pass, and equality lookups only need locality,
+    not order. The local sort itself is ``sortWithinPartitions`` — zero
+    extra shuffle, same cost class as the default sorted write.
+
+    At 100 TB this runs per-bucket-incremental exactly like partial
+    compaction (``buckets=[...]``): maintenance touches only the buckets
+    whose read pattern warrants it; the curve expression is pure JVM bit
+    arithmetic inside whole-stage codegen.
+
+    Reference analogue: the reference re-sorts serialized shards by
+    (journal, date) before webdataset packing
+    (``scripts/06_serilaize_to_webdataset_parallel.py:151-158``) — a
+    one-dimensional layout sort; this is its two-dimensional lakehouse
+    form under the normal commit protocol."""
+    snap = table.current_snapshot()
+    if not snap:
+        return None
+    stored = table.read_stored_files(spark, buckets=buckets)
+    # rank scale for ts: one footer-stat-served narrow agg (no payload read)
+    span = stored.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if span["n"] == 0:
+        return None
+    lo = float(span["lo"]) if span["lo"] is not None else 0.0
+    hi = float(span["hi"]) if span["hi"] is not None else lo
+    scale = max(hi - lo, 1e-9)
+    top = (1 << bits) - 1
+    as_events = _base_as_changes(stored, table.n_buckets)
+    resolved = _to_stored(
+        lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
+                           shuffle_salts=shuffle_salts)
+    )
+    ts_rank = F.least(
+        F.lit(top).cast("long"),
+        F.floor(
+            (F.coalesce(F.unix_timestamp("ts").cast("double"), F.lit(lo))
+             - F.lit(lo)) * F.lit(top / scale)
+        ).cast("long"),
+    )
+    key_rank = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(1 << bits))
+    z = _zorder_curve(ts_rank, key_rank, bits)
+    stage = table.new_data_dir()
+    _stage_writer(resolved, max_records_per_file,
+                  sort_exprs=[z, F.col("conv_id"), F.col("turn_idx")]
+                  ).parquet(stage)
+    rewritten = _written_dirs(stage)
+    target = (sorted(int(b) for b in snap.get("bucket_dirs", {}))
+              if buckets is None else sorted(buckets))
+    for b in target:
+        if b not in rewritten:
+            empty = os.path.join(stage, f"{BUCKET_COL}={b}")
+            os.makedirs(empty, exist_ok=True)
+            rewritten[b] = empty
+    return table.commit(
+        None, rewritten, snap["lsn_lo"], snap["lsn_hi"],
+        {"commit_type": "rewrite-zorder", "zorder_bits": bits,
+         "zorder_cols": ["ts", "conv_id"],
+         "buckets_rewritten": len(rewritten)},
     )
 
 

@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark's legacy INT96 timestamps carry NO parquet min/max stats,
+        # so nothing — not this engine, not DuckDB, not Iceberg — can
+        # row-group-prune a time-range scan over them. Write int64 micros
+        # (what Iceberg mandates); readers handle both encodings, so old
+        # files remain readable.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # text-heavy rows: smaller scan splits keep all cores busy on the
         # single-file-per-segment layouts a WAL tail produces
         .config("spark.sql.files.maxPartitionBytes", "33554432")

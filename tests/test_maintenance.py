@@ -199,6 +199,63 @@ def test_write_sort_order_yields_ordered_row_group_stats(spark, tmp_path):
     assert split_seen, "expected maxRecordsPerFile to split some task output"
 
 
+def test_rewrite_zorder_tightens_ts_stats(spark, tmp_path):
+    """Z-order rewrite: after re-laying files along the Morton curve over
+    (ts, conv_id), per-file ts min/max spans shrink sharply vs the default
+    (conv_id, turn_idx) sort — the physical property behind row-group
+    pruning of time-range scans — while resolved state stays bit-identical
+    and time travel still sees the old layout."""
+    import pyarrow.parquet as pq
+
+    from biomedica_etl_spark.cdc.merge import rewrite_zorder
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(
+        spark, log, str(tmp_path / "t"), n_buckets=4, mode="cow",
+        max_records_per_file=200,
+    )
+    runner.run()
+    table = runner.table
+    before = _state(spark, table)
+
+    def _ts_spans() -> list[float]:
+        spans = []
+        for r in table.files(spark).collect():
+            pf = pq.ParquetFile(os.path.join(table.root, r.path))
+            ti = pf.schema_arrow.names.index("ts")
+            for g in range(pf.metadata.num_row_groups):
+                s = pf.metadata.row_group(g).column(ti).statistics
+                if s is None or not s.has_min_max:
+                    continue  # all-null ts chunk carries no stats
+                spans.append((s.max - s.min).total_seconds())
+        return spans
+
+    spans_sorted = _ts_spans()
+    assert len(spans_sorted) > 4
+    snap = rewrite_zorder(spark, table, max_records_per_file=200)
+    assert snap is not None
+    assert snap["summary"]["commit_type"] == "rewrite-zorder"
+
+    spans_z = _ts_spans()
+    assert len(spans_z) > 4
+    # conv_id-sorted files scatter ts (a conversation's turns span the whole
+    # log); the curve clusters it — demand a >=2x mean-span tightening
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(spans_z) < 0.5 * mean(spans_sorted)
+
+    # resolved state identical, oracle-checked; point lookup intact
+    assert _state(spark, table) == before == replay(log)
+    conv = before[0]["conv_id"]
+    got = [r.asDict() for r in
+           table.read_conversation(spark, conv).collect()]
+    assert got == [r for r in before if r["conv_id"] == conv]
+    # time travel to the pre-rewrite snapshot sees the old layout
+    old_files = table.files(spark, snapshot_id=snap["parent_id"]).collect()
+    assert {f.path for f in old_files}.isdisjoint(
+        {f.path for f in table.files(spark).collect()})
+
+
 def test_rewrite_small_files_binpack(spark, tmp_path):
     """Size-based bin-pack: fragmented buckets coalesce to ~one file each,
     resolved state is bit-identical, untouched buckets keep their dirs,
