@@ -503,8 +503,102 @@ ORDER BY d.doc_id
 """
 
 
+# --- exact substring-span dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): find every W-token window whose exact text
+# recurs in ANOTHER document, and profile per-doc how much of it is
+# duplicated span mass. This is the exact-substring counterpart to the
+# shingle-Jaccard family above: no similarity threshold, no signatures —
+# a span either recurs verbatim or it doesn't.
+SPAN_W = 5
+
+
+def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring profile: of a doc's ``SPAN_W``-token
+    sliding windows, how many also occur verbatim in at least one OTHER
+    document. ``dup_permyriad`` = floor(10000 * dup/total) — integer
+    output so the cross-engine hash never meets float-rounding ties.
+
+    Scale shape (the suffix-array stage of Lee et al., re-expressed as
+    two linear shuffles): tokenize once, emit one md5 per window
+    position (O(tokens) rows), partial-agg count distinct docs per span
+    hash, then a semi join marks duplicated positions — every key is a
+    high-cardinality hash, so there is no skew bucket, and nothing is
+    ever pairwise. At 100 TB you additionally df-cap pathological spans
+    (stop-word runs) exactly like JACCARD_MAX_DF; the profile only needs
+    the df>1 BIT, so the cap changes nothing below any sane threshold.
+
+    Reference analogue: caption-level exact dedup by content hash
+    (``src/pmc_oa/build_json.py:936-985``), generalized from whole-field
+    equality to within-text span recurrence."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = d.select("doc_id", F.expr(_WORDS).alias("ws"))
+    pos = ws.select(
+        "doc_id",
+        F.explode(F.expr(f"""
+            CASE WHEN size(ws) >= {SPAN_W}
+                 THEN transform(sequence(1, size(ws) - {SPAN_W - 1}),
+                                i -> md5(concat_ws(' ', slice(ws, i, {SPAN_W}))))
+                 ELSE array() END""")).alias("h"),
+    )
+    cross_doc = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("h")
+    )
+    total = pos.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dups = (
+        pos.join(cross_doc, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        total.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            n_dup.alias("n_dup_spans"),
+            F.floor(n_dup * F.lit(10000.0) / F.col("n_spans"))
+            .cast("long").alias("dup_permyriad"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SPAN_W - 1})) AS i
+  FROM w WHERE len(ws) >= {SPAN_W}
+),
+pos AS (
+  SELECT doc_id, md5(array_to_string(ws[i:i + {SPAN_W - 1}], ' ')) AS h
+  FROM idx
+),
+cross_doc AS (
+  SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM pos GROUP BY doc_id),
+dd AS (
+  SELECT doc_id, count(*) AS n_dup FROM pos
+  WHERE h IN (SELECT h FROM cross_doc) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       coalesce(dd.n_dup, 0) AS n_dup_spans,
+       CAST(floor(coalesce(dd.n_dup, 0) * 10000.0 / t.n_spans) AS BIGINT)
+         AS dup_permyriad
+FROM tot t LEFT JOIN dd USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dup_span_profile": (dup_span_profile, DUP_SPAN_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),

@@ -263,6 +263,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def cube_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id: every subtotal
+    combination in ONE pass — Spark expands the grouping sets before the
+    aggregate, so it stays a single partial-agg shuffle (vs 4 separate
+    groupBys = 4 scans + 4 shuffles). Subtotal NULLs are folded to 'ALL'
+    (the data never holds null status/priority), which also sidesteps the
+    engines' opposite default null-sort order. The reference computes its
+    per-license/per-journal/global counts as separate passes
+    (``src/pmc_oa/download_batch.py:246-276``); this is the one-pass form."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n_orders", "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+CUBE_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
 def max_over_group_next_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_next_index analogue (src/pmc_oa/build_json.py:125-157):
     monotone next id per group = max + 1 (snapshot-id fencing)."""
@@ -862,6 +901,7 @@ QUERIES: dict[str, tuple] = {
     "null_normalize": (null_normalize, NULL_NORMALIZE_SQL),
     "group_collect_ordered": (group_collect_ordered, GROUP_COLLECT_SQL),
     "count_agg_metrics": (count_agg_metrics, COUNT_AGG_SQL),
+    "cube_order_rollup": (cube_order_rollup, CUBE_ROLLUP_SQL),
     "max_over_group_next_index": (max_over_group_next_index, MAX_OVER_GROUP_SQL),
     "offset_range_batching": (offset_range_batching, OFFSET_RANGE_SQL),
     "union_all_evolved": (union_all_evolved, UNION_EVOLVED_SQL),
