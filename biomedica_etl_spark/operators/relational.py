@@ -552,6 +552,43 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg — the canonical
+    predicate-pushdown query. All three predicates reach the parquet scan
+    (PushedFilters on shipdate/discount/quantity; row groups outside the
+    date window are skipped on footer stats alone), and the surviving
+    rows fold in one WholeStageCodegen pass with no shuffle but the
+    final single-row combine."""
+    l = tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(18,2)").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount"))
+                  .cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -902,6 +939,7 @@ QUERIES: dict[str, tuple] = {
     "group_collect_ordered": (group_collect_ordered, GROUP_COLLECT_SQL),
     "count_agg_metrics": (count_agg_metrics, COUNT_AGG_SQL),
     "cube_order_rollup": (cube_order_rollup, CUBE_ROLLUP_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "max_over_group_next_index": (max_over_group_next_index, MAX_OVER_GROUP_SQL),
     "offset_range_batching": (offset_range_batching, OFFSET_RANGE_SQL),
     "union_all_evolved": (union_all_evolved, UNION_EVOLVED_SQL),
