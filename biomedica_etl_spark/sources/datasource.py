@@ -47,9 +47,12 @@ import pyarrow.parquet as pq
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..cdc.schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
@@ -124,6 +127,18 @@ class CowTableDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "CowTableReader":
         return CowTableReader(self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "CowTableWriter":
+        if overwrite:
+            raise ValueError(
+                "cowtable is append-only through this writer: each save() is "
+                "one MOR delta commit; use the engine's compaction/rewrite "
+                "ops to reorganize, and mode('append')")
+        return CowTableWriter(self.options)
+
+    def streamWriter(self, schema: T.StructType,
+                     overwrite: bool) -> "CowTableStreamWriter":
+        return CowTableStreamWriter(self.options)
+
 
 class CowTableReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -151,6 +166,203 @@ class CowTableReader(DataSourceReader):
     def read(self, partition: _BucketFiles) -> Iterator[pa.RecordBatch]:
         stored = _read_stored_arrow(partition.files, with_sys=True)
         yield from _lww_fold(stored, self.tombstones).to_batches()
+
+
+class _AppendedFiles(WriterCommitMessage):
+    """Per-task result: the EXACT files this task attempt wrote. The
+    driver commits only files reported by successful attempts (Iceberg's
+    file-list commit discipline), so a retried task's partial output is
+    never referenced — it ages out as an unreferenced dir for
+    ``remove_orphaned_files``."""
+
+    def __init__(self, files: list[tuple[int, str]], n_rows: int,
+                 lsn_lo: int | None, lsn_hi: int | None) -> None:
+        self.files = files  # (bucket, absolute path)
+        self.n_rows = n_rows
+        self.lsn_lo = lsn_lo
+        self.lsn_hi = lsn_hi
+
+
+def _write_change_batches(batches, root: str, n_buckets: int
+                          ) -> _AppendedFiles:
+    """Executor half of the append: Arrow change batches -> stored-shape
+    parquet files in a task-private staging dir. Vectorized throughout —
+    pandas masks for validation, one python ``xxh64`` call per DISTINCT
+    conv_id (pinned bit-identical to ``F.xxhash64``), per-bucket Arrow
+    writes. Invalid rows fail the task (the runner path quarantines
+    instead; a direct writer is a programmatic API, so it is strict)."""
+    import uuid
+
+    import pandas as pd
+
+    from ..cdc.xxhash import bucket_of
+
+    task_dir = os.path.join(root, "data", f"snap-{uuid.uuid4().hex}")
+    target = _arrow_schema(True)
+    out_schema = pa.schema([
+        pa.field(f.name, pa.timestamp("us", tz="UTC"))
+        if f.name == "ts" else f for f in target])
+    files: list[tuple[int, str]] = []
+    n_rows = 0
+    lsn_lo: int | None = None
+    lsn_hi: int | None = None
+    for batch in batches:
+        df = batch.to_pandas()
+        if not len(df):
+            continue
+        for col in ("conv_id", "turn_idx", "op", "lsn"):
+            if col not in df.columns:
+                raise ValueError(f"cowtable append requires column {col!r}")
+        bad = (
+            ~df["op"].isin(["I", "U", "D"])
+            | df["conv_id"].isna() | df["lsn"].isna()
+            | df["turn_idx"].isna() | (df["turn_idx"] < 0)
+        )
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} invalid change rows (op not in I/U/D, "
+                "null key/lsn, or negative turn_idx); route dirty feeds "
+                "through CdcRunner, which quarantines instead")
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"].astype("int64"),
+            "role": df.get("role"),
+            "text": df.get("text"),
+            "tool": df.get("tool"),
+            "ts": df.get("ts"),
+            SYS_LSN: df["lsn"].astype("int64"),
+            SYS_DELETED: (df["op"] == "D"),
+        })
+        os.makedirs(task_dir, exist_ok=True)
+        bucket_map = {c: bucket_of(c, n_buckets)
+                      for c in out["conv_id"].unique()}
+        for b, part in out.groupby(out["conv_id"].map(bucket_map)):
+            tab = (pa.Table.from_pandas(part, preserve_index=False)
+                   .select(out_schema.names).cast(out_schema))
+            path = os.path.join(task_dir,
+                                f"b{int(b)}-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tab, path, compression="zstd")
+            files.append((int(b), path))
+        n_rows += len(out)
+        lo, hi = int(df["lsn"].min()), int(df["lsn"].max())
+        lsn_lo = lo if lsn_lo is None else min(lsn_lo, lo)
+        lsn_hi = hi if lsn_hi is None else max(lsn_hi, hi)
+    return _AppendedFiles(files, n_rows, lsn_lo, lsn_hi)
+
+
+def _discard_staged(messages) -> None:
+    import shutil
+
+    for m in messages:
+        if m is None:
+            continue
+        for _, path in m.files:
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def _commit_appended(root: str, messages, batch_id: int | None) -> None:
+    """Driver half shared by the batch writer and the streaming sink: fold
+    the successful attempts' file lists into ONE delta layer dir (same-FS
+    renames, no data copy) and publish it with ``commit_delta`` — the
+    same manifest protocol every engine write path uses, so readers, time
+    travel, fencing, expiration, and maintenance see writer appends as
+    ordinary MOR layers. A fenced (already-committed) batch id discards
+    the staged files and changes nothing."""
+    table = CowTable(root)
+    if batch_id is not None and table.is_committed(batch_id):
+        _discard_staged(messages)
+        return
+    n_rows = 0
+    lsn_lo: int | None = None
+    lsn_hi: int | None = None
+    moved: dict[int, str] = {}
+    final = table.new_data_dir()
+    task_dirs: set[str] = set()
+    for m in messages:
+        if m is None:
+            continue
+        n_rows += m.n_rows
+        if m.lsn_lo is not None:
+            lsn_lo = m.lsn_lo if lsn_lo is None else min(lsn_lo, m.lsn_lo)
+        if m.lsn_hi is not None:
+            lsn_hi = m.lsn_hi if lsn_hi is None else max(lsn_hi, m.lsn_hi)
+        for b, path in m.files:
+            d = os.path.join(final, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            os.rename(path, os.path.join(d, os.path.basename(path)))
+            moved[b] = d
+            task_dirs.add(os.path.dirname(path))
+    for td in task_dirs:
+        try:
+            os.rmdir(td)
+        except OSError:
+            pass  # a retried attempt's unreported files: orphan GC's job
+    snap = table.current_snapshot()
+    base_lo, base_hi = snap.get("lsn_lo"), snap.get("lsn_hi")
+    lo = base_lo if lsn_lo is None else (
+        lsn_lo if base_lo is None else min(base_lo, lsn_lo))
+    hi = base_hi if lsn_hi is None else (
+        lsn_hi if base_hi is None else max(base_hi, lsn_hi))
+    if not moved and batch_id is None:
+        os.rmdir(final)
+        return  # unfenced empty append: nothing to record
+    table.commit_delta(batch_id, moved, lo, hi,
+                       {"writer": "datasource", "rows_appended": n_rows})
+
+
+class CowTableWriter(DataSourceArrowWriter):
+    """``df.write.format("cowtable").option("root", ...).mode("append")
+    .save()`` — one MOR delta commit per save. Input is the CHANGE shape
+    (op/lsn + payload); optional ``batch_id`` option engages snapshot-id
+    fencing so a re-run of the same logical batch is a structural no-op."""
+
+    def __init__(self, options: dict) -> None:
+        self.root = options["root"]
+        self.n_buckets = int(options.get("n_buckets", 16))
+        bid = options.get("batch_id")
+        self.batch_id = int(bid) if bid is not None else None
+        table = CowTable(self.root, n_buckets=self.n_buckets)
+        if table.current_snapshot() is None:
+            table.create()
+        self.n_buckets = table.n_buckets
+
+    def write(self, iterator) -> _AppendedFiles:
+        return _write_change_batches(iterator, self.root, self.n_buckets)
+
+    def commit(self, messages) -> None:
+        _commit_appended(self.root, messages, self.batch_id)
+
+    def abort(self, messages) -> None:
+        _discard_staged(messages)
+
+
+class CowTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("cowtable")`` — the table as a native
+    EXACTLY-ONCE streaming sink: Structured Streaming's epoch id becomes
+    the engine's fenced batch id (offset by ``batch_id_base``), so a
+    micro-batch replayed after failure/restart re-stages its files but
+    its commit is a structural no-op and the files are discarded — the
+    same idempotent-commit discipline the north rule demands of the
+    runner, available to ANY streaming query. Each epoch appends one MOR
+    delta layer."""
+
+    def __init__(self, options: dict) -> None:
+        self.root = options["root"]
+        self.n_buckets = int(options.get("n_buckets", 16))
+        self.base = int(options.get("batch_id_base", 1_000_000))
+        table = CowTable(self.root, n_buckets=self.n_buckets)
+        if table.current_snapshot() is None:
+            table.create()
+        self.n_buckets = table.n_buckets
+
+    def write(self, iterator) -> _AppendedFiles:
+        return _write_change_batches(iterator, self.root, self.n_buckets)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_appended(self.root, messages, self.base + batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_staged(messages)
 
 
 class _DeltaSlice(InputPartition):

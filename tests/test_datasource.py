@@ -50,6 +50,119 @@ def test_batch_cowtable_source_matches_oracle(spark, tmp_path):
     assert raw.count() == table.read_raw(spark).count()
 
 
+def _mk_events(spark, n, lsn0=0):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % 37).cast("string")).alias("conv_id"),
+            (F.col("id") % 11).cast("long").alias("turn_idx"),
+            F.when(F.col("id") % 13 == 0, "D").otherwise("U").alias("op"),
+            (F.col("id") + lsn0).alias("lsn"),
+            F.lit("assistant").alias("role"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("ts"),
+        )
+    )
+
+
+def _lww_expected(events):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND op <> 'D'")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def test_batch_writer_appends_delta_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    register_data_sources(spark)
+    ev = _mk_events(spark, 2_000)
+
+    (ev.write.format("cowtable").option("root", root)
+       .option("n_buckets", 8).option("batch_id", 7).mode("append").save())
+
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    table = CowTable(root)
+    got = _rows(table.read(spark))
+    assert got == _rows(_lww_expected(ev))
+    assert table.current_snapshot()["summary"]["writer"] == "datasource"
+
+    # fencing: replaying the same logical batch is a structural no-op and
+    # leaves no unreferenced junk behind the grace window
+    n_snaps = len(table.snapshots())
+    (ev.write.format("cowtable").option("root", root)
+       .option("batch_id", 7).mode("append").save())
+    table = CowTable(root)
+    assert len(table.snapshots()) == n_snaps
+    assert _rows(table.read(spark)) == got
+    assert table.remove_orphaned_files(grace_seconds=0)["dirs_removed"] == 0
+
+    # a second batch under a NEW id layers on top; later lsn wins
+    ev2 = _mk_events(spark, 500, lsn0=10_000)
+    (ev2.write.format("cowtable").option("root", root)
+       .option("batch_id", 8).mode("append").save())
+    table = CowTable(root)
+    both = ev.unionByName(ev2)
+    assert _rows(table.read(spark)) == _rows(_lww_expected(both))
+
+    # invalid rows fail loudly (the programmatic writer is strict)
+    from pyspark.sql import functions as F
+
+    bad = ev.limit(5).withColumn("op", F.lit("X"))
+    with pytest.raises(Exception, match="invalid change rows"):
+        (bad.write.format("cowtable").option("root", root)
+            .mode("append").save())
+
+    # overwrite mode is refused
+    with pytest.raises(Exception, match="append-only"):
+        (ev.write.format("cowtable").option("root", root)
+            .mode("overwrite").save())
+
+
+def test_stream_writer_exactly_once_sink(spark, tmp_path):
+    """The table as a native Structured Streaming sink: a 3-file feed at
+    maxFilesPerTrigger=1 produces fenced per-epoch delta commits whose
+    resolved state equals the batch LWW of the whole feed."""
+    import os
+
+    root = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    register_data_sources(spark)
+    ev = _mk_events(spark, 900)
+    ev.repartition(3).write.parquet(feed)
+
+    q = (spark.readStream.schema(ev.schema)
+         .option("maxFilesPerTrigger", 1).parquet(feed)
+         .writeStream.format("cowtable")
+         .option("root", root).option("n_buckets", 8)
+         .option("batch_id_base", 500)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    table = CowTable(root)
+    assert _rows(table.read(spark)) == _rows(_lww_expected(ev))
+    appended = [s for s in table.snapshots()
+                if s.get("summary", {}).get("writer") == "datasource"]
+    n_files = len([f for f in os.listdir(feed) if f.endswith(".parquet")])
+    assert len(appended) == n_files
+    assert sorted(s["batch_id"] for s in appended) == [
+        500 + i for i in range(n_files)]
+
+
 def test_stream_changes_source_tails_commit_chain(spark, tmp_path):
     log = str(tmp_path / "log")
     generate_change_log(log, SCENARIOS["update_delete_mix"])
