@@ -94,6 +94,7 @@ HEADLINE = [
     "citation_date_parse",
     "token_budget_shards",
     "ann_ivf_trained",
+    "dup_span_profile",
 ]
 
 

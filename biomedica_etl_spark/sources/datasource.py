@@ -31,6 +31,13 @@ driver; data movement is executor-side Arrow with zero Python row loops
 the batch source parallelizes across all buckets and each task streams
 its files batch-by-batch instead of materializing the bucket.
 
+Deployment note: Spark unpickles these classes inside executor PYTHON
+WORKER processes, so the package must be importable there — exactly what
+``spark-submit --py-files dist/biomedica_etl_spark.zip`` (see
+``scripts/package.sh``) or a cluster-wide pip install provides. A
+driver-side ``sys.path`` hack is NOT enough (verified: workers raise
+ModuleNotFoundError without the zip/PYTHONPATH).
+
 Reference analogue: the reference exposes its final corpus only as files
 on disk (``scripts/06_serilaize_to_webdataset_parallel.py``); here the
 table is a first-class Spark source either way — state or feed.
