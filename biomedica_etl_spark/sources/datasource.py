@@ -26,10 +26,13 @@ including one that knows nothing about this package — reads it with plain
   table's genesis snapshot).
 
 Scale notes: planning is manifest-driven and O(commits in range) on the
-driver; data movement is executor-side Arrow with zero Python row loops
-(the LWW fold is vectorized pandas/pyarrow — §2.9 discipline). At 100 TB
-the batch source parallelizes across all buckets and each task streams
-its files batch-by-batch instead of materializing the bucket.
+driver; the batch reader and both writers move data as Arrow with zero
+Python row loops (the LWW fold is vectorized pandas/pyarrow — §2.9
+discipline), and the batch source parallelizes across all buckets. The
+one exception is the change-feed stream reader's row emission: the
+DataSourceStreamReader contract is tuple-iterating, so each micro-batch's
+rows cross a Python loop — acceptable because a micro-batch is O(delta),
+never O(table); swap to the Arrow contract when pyspark grows one.
 
 Deployment note: Spark unpickles these classes inside executor PYTHON
 WORKER processes, so the package must be importable there — exactly what
@@ -81,17 +84,13 @@ def _arrow_schema(with_sys: bool) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _read_stored_arrow(files: list[str], with_sys: bool) -> pa.Table:
+def _read_stored_arrow(files: list[str]) -> pa.Table:
     """Read stored-shape parquet files into one Arrow table, normalized to
     the target schema (ts cast to us; old INT96 files land as ns)."""
     target = _arrow_schema(True)
-    tabs = []
-    for f in files:
-        t = pq.read_table(f, columns=target.names)
-        tabs.append(t.cast(target))
-    merged = (pa.concat_tables(tabs) if tabs
-              else target.empty_table())
-    return merged if with_sys else merged
+    tabs = [pq.read_table(f, columns=target.names).cast(target)
+            for f in files]
+    return pa.concat_tables(tabs) if tabs else target.empty_table()
 
 
 def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
@@ -171,7 +170,7 @@ class CowTableReader(DataSourceReader):
         return [_BucketFiles(b, fs) for b, fs in sorted(per_bucket.items())]
 
     def read(self, partition: _BucketFiles) -> Iterator[pa.RecordBatch]:
-        stored = _read_stored_arrow(partition.files, with_sys=True)
+        stored = _read_stored_arrow(partition.files)
         yield from _lww_fold(stored, self.tombstones).to_batches()
 
 
@@ -209,7 +208,11 @@ def _write_change_batches(batches, root: str, n_buckets: int
     out_schema = pa.schema([
         pa.field(f.name, pa.timestamp("us", tz="UTC"))
         if f.name == "ts" else f for f in target])
-    files: list[tuple[int, str]] = []
+    # accumulate per bucket across Arrow batches and write ONE file per
+    # bucket at task end — writing inside the batch loop would emit
+    # (batches x buckets) tiny files per task (Spark hands ~10k-row
+    # batches, so a 10M-row partition would shatter into thousands)
+    chunks: dict[int, list] = {}
     n_rows = 0
     lsn_lo: int | None = None
     lsn_hi: int | None = None
@@ -240,20 +243,24 @@ def _write_change_batches(batches, root: str, n_buckets: int
             SYS_LSN: df["lsn"].astype("int64"),
             SYS_DELETED: (df["op"] == "D"),
         })
-        os.makedirs(task_dir, exist_ok=True)
         bucket_map = {c: bucket_of(c, n_buckets)
                       for c in out["conv_id"].unique()}
         for b, part in out.groupby(out["conv_id"].map(bucket_map)):
-            tab = (pa.Table.from_pandas(part, preserve_index=False)
-                   .select(out_schema.names).cast(out_schema))
-            path = os.path.join(task_dir,
-                                f"b{int(b)}-{uuid.uuid4().hex}.parquet")
-            pq.write_table(tab, path, compression="zstd")
-            files.append((int(b), path))
+            chunks.setdefault(int(b), []).append(part)
         n_rows += len(out)
         lo, hi = int(df["lsn"].min()), int(df["lsn"].max())
         lsn_lo = lo if lsn_lo is None else min(lsn_lo, lo)
         lsn_hi = hi if lsn_hi is None else max(lsn_hi, hi)
+    files: list[tuple[int, str]] = []
+    if chunks:
+        os.makedirs(task_dir, exist_ok=True)
+    for b, parts in sorted(chunks.items()):
+        whole = parts[0] if len(parts) == 1 else pd.concat(parts)
+        tab = (pa.Table.from_pandas(whole, preserve_index=False)
+               .select(out_schema.names).cast(out_schema))
+        path = os.path.join(task_dir, f"b{b}-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tab, path, compression="zstd")
+        files.append((b, path))
     return _AppendedFiles(files, n_rows, lsn_lo, lsn_hi)
 
 
@@ -447,7 +454,7 @@ class ChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _DeltaSlice) -> Iterator[tuple]:
         if not partition.files:
             return
-        stored = _read_stored_arrow(partition.files, with_sys=True)
+        stored = _read_stored_arrow(partition.files)
         for row in stored.cast(_arrow_schema(True)).to_pylist():
             yield tuple(row[n] for n in _arrow_schema(True).names)
 
