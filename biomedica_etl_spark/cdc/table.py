@@ -825,6 +825,26 @@ class CowTable:
                     ))
         return spark.createDataFrame(rows, schema)
 
+    def partitions(self, spark: SparkSession,
+                   snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg ``partitions`` metadata-table analogue: one row per
+        bucket of a snapshot — file/layer counts, stored bytes and rows
+        (base + unresolved delta versions). Built on the same driver-side
+        footer reads as ``files`` (no data scan); the view an operator
+        uses to SEE skew (hot buckets with deep delta stacks) and target
+        partial compaction / bin-pack at exactly those buckets."""
+        f = self.files(spark, snapshot_id=snapshot_id)
+        return (
+            f.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.max("layer").alias("delta_layers"),
+                F.sum("file_bytes").alias("stored_bytes"),
+                F.sum("num_rows").alias("stored_rows"),
+            )
+            .orderBy("bucket")
+        )
+
     def remove_orphaned_files(self, grace_seconds: float = 3600.0) -> dict[str, int]:
         """Iceberg ``remove_orphan_files`` analogue: delete data dirs that no
         retained snapshot references AND whose mtime is older than

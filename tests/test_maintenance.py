@@ -135,6 +135,18 @@ def test_files_metadata_table_matches_stored_rows(spark, tmp_path):
     fm_old = table.files(spark, snapshot_id=first_commit).collect()
     assert sum(r.num_rows for r in fm_old) <= stored
 
+    # partitions view aggregates the same footers per bucket
+    pm = {r.bucket: r for r in table.partitions(spark).collect()}
+    assert set(pm) == {r.bucket for r in fm}
+    assert sum(r.stored_rows for r in pm.values()) == stored
+    for b, r in pm.items():
+        mine = [x for x in fm if x.bucket == b]
+        assert r.n_files == len(mine)
+        assert r.stored_bytes == sum(x.file_bytes for x in mine)
+        assert r.delta_layers == max(x.layer for x in mine)
+    # compacted buckets show layer 0; untouched ones keep their stacks
+    assert {b for b, r in pm.items() if r.delta_layers == 0} == {0, 1, 2, 3}
+
 
 def test_write_sort_order_yields_ordered_row_group_stats(spark, tmp_path):
     """Iceberg write sort-order: every data file is locally sorted by
