@@ -127,6 +127,34 @@ def test_batch_writer_appends_delta_commits(spark, tmp_path):
             .mode("overwrite").save())
 
 
+def test_batch_writer_tolerates_pre_evolution_schema(spark, tmp_path):
+    """Schema tolerance at the writer boundary: a feed from BEFORE the
+    ``tool`` epoch (column absent entirely) appends cleanly — the missing
+    payload column lands as typed NULLs, same as the engine's epoch
+    alignment — and a later full-schema batch coexists in the same
+    resolved view."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    root = str(tmp_path / "t")
+    register_data_sources(spark)
+    old = _mk_events(spark, 300).drop("tool")
+    (old.write.format("cowtable").option("root", root)
+        .option("n_buckets", 4).mode("append").save())
+
+    new = _mk_events(spark, 300, lsn0=1_000).withColumn(
+        "tool", F.lit("search"))
+    (new.write.format("cowtable").option("root", root)
+        .mode("append").save())
+
+    table = CowTable(root)
+    got = _rows(table.read(spark))
+    both = old.withColumn("tool", F.lit(None).cast("string")).unionByName(new)
+    assert got == _rows(_lww_expected(both))
+    assert {r["tool"] for r in got} == {"search"}  # lsn0=1000 wins every key
+
+
 def test_stream_writer_exactly_once_sink(spark, tmp_path):
     """The table as a native Structured Streaming sink: a 3-file feed at
     maxFilesPerTrigger=1 produces fenced per-epoch delta commits whose
