@@ -116,13 +116,70 @@ ORDER BY conv_id, turn_idx
 """
 
 
+# The correctness driver samples the FIRST 50 entries of queries() in
+# iteration order.  Names are FROZEN (never renamed); only the ORDER is
+# managed here so every query gets a driver row across rounds: entries that
+# have never had a green driver row come first (flagship, then the round-4
+# additions, then the 31 queries rounds 1-3 never reached), followed by the
+# already-driver-green block.  Anything not named below keeps module order
+# at the tail.
+_PRIORITY_ORDER = (
+    # flagship — only driver row ever was the round-1 FAIL
+    "cdc_apply_end_to_end",
+    # round-4 additions (driver has never seen these names)
+    "xml_caption_extract",
+    "embedding_near_dup_bucketed",
+    "minhash_lsh_capped",
+    # never driver-checked through round 3 (rotated out by the 50-row cap)
+    "simhash_16",
+    "cosine_topk",
+    "embedding_near_dup",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_ivf_coarse",
+    "ann_ivf_nprobe2",
+    "ann_recall_report",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_embed",
+    "multimodal_embed_ann",
+    "nested_assemble",
+    "nested_explode",
+    "json_roundtrip",
+    "nested_field_search",
+    "array_filter_gate",
+    "split_assign",
+    "stratified_sample",
+    "split_by_cluster",
+    "token_budget_shards",
+    "fixed_size_sample",
+    "kmv_distinct_sketch",
+    "contamination_report",
+    "kmeans_assign",
+    "dbscan_labels",
+    "dbscan_labels_bucketed",
+    "ann_ivf_trained",
+    "pca_project",
+)
+
+
+def _reorder(out: dict) -> dict:
+    ordered = {}
+    for name in _PRIORITY_ORDER:
+        if name in out:
+            ordered[name] = out.pop(name)
+    ordered.update(out)
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _ALL_MODULES:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     out["cdc_apply_end_to_end"] = _cdc_apply_end_to_end
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -132,4 +189,4 @@ def oracle_sql() -> dict[str, str]:
             if sql is not None:
                 out[name] = sql
     out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
-    return out
+    return _reorder(out)
