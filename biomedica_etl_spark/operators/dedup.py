@@ -41,8 +41,9 @@ CASE WHEN size(ws) >= 3
 """
 
 # DuckDB twin of the shingle CTE (1-based list indexing; range end-exclusive)
-_SHINGLES_CTE = r"""
-w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+def _shingles_cte(src: str = "documents") -> str:
+    return rf"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM {src}),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws)-1)
@@ -51,8 +52,13 @@ sh AS (
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+_SHINGLES_CTE = _shingles_cte()
+
+
+def _shingles(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    d = docs if docs is not None else tbl(spark, sf_dir, "documents")
     # explode-of-singleton is a Generate node: CollapseProject cannot fold
     # the split back into the shingle lambda through it, so the document is
     # tokenized exactly once per row (inlined, the lambda would re-split
@@ -182,9 +188,10 @@ _FULL_BAND_SIZE = 8  # 16 bands of 8
 
 
 def _signatures(
-    spark: SparkSession, sf_dir: str, n_hashes: int = _N_HASHES
+    spark: SparkSession, sf_dir: str, n_hashes: int = _N_HASHES,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, docs=docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(n_hashes)
@@ -228,7 +235,22 @@ def _banded(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
              F.col("bk.band_key").alias("band_key"))
 
 
-def _band_pairs(banded: DataFrame) -> DataFrame:
+# bucket df-cap: an LSH band bucket larger than this is dropped BEFORE the
+# pair expansion (same discipline as JACCARD_MAX_DF, mirrored in the SQL
+# oracles). LSH near-dup buckets are small by construction (a bucket = docs
+# agreeing on a FULL band), so any bucket this hot is a degenerate corpus
+# artifact (empty/boilerplate docs agreeing on a whole band) — expanding it
+# is quadratic and collecting it is the one task that OOMs at 100 TB.
+# Dropped buckets are observable via the `observation` hook (count + max
+# size), which the bench/test paths attach.
+LSH_MAX_BUCKET = 64
+
+
+def _band_pairs(
+    banded: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
     """Candidate pairs from the banded relation by bucket-collect: ONE
     shuffle (groupBy band key) computes the expensive shingle->signature
     subtree exactly once, then pairs expand inside each bucket with an
@@ -237,14 +259,22 @@ def _band_pairs(banded: DataFrame) -> DataFrame:
     banded self-join re-scanned the subtree unless it was cached, which
     is what the r01->r02 bench swing measured; this plan is ~2x faster
     than the honest uncached join at sf0.1 and strictly one shuffle).
-    LSH near-dup buckets are small by construction (a bucket = docs
-    agreeing on a full band); a degenerate corpus-hot bucket (e.g. empty
-    docs) would bloat its collected array — at web scale add the same
-    df-cap discipline as JACCARD_MAX_DF before the expansion."""
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+
+    Buckets larger than ``max_bucket`` are dropped before expansion (see
+    LSH_MAX_BUCKET); pass a pyspark ``Observation`` as ``observation`` to
+    read back ``dropped_buckets`` / ``max_bucket_size`` after an action."""
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum(F.when(F.size("ds") > max_bucket, 1).otherwise(0))
+            .alias("dropped_buckets"),
+            F.max(F.size("ds")).alias("max_bucket_size"),
+        )
+    buckets = buckets.filter(
+        (F.size("ds") > 1) & (F.size("ds") <= max_bucket)
     )
     return (
         buckets.select(F.explode(F.expr(
@@ -308,7 +338,8 @@ def minhash_lsh_candidates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_pairs(_banded(sig, _FULL_N_HASHES, _FULL_BAND_SIZE))
 
 
-def _lsh_sql(n_hashes: int, band_size: int) -> str:
+def _lsh_sql(n_hashes: int, band_size: int,
+             max_bucket: int = LSH_MAX_BUCKET) -> str:
     bands = []
     for b in range(n_hashes // band_size):
         key = " || '|' || ".join(
@@ -326,15 +357,23 @@ sig AS (
 ),
 banded AS (
   {banded}
+),
+bucket_ok AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= {max_bucket}
+),
+capped AS (
+  SELECT banded.* FROM banded JOIN bucket_ok USING (band, band_key)
 )
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY d1, d2
 """
 
 
-def _km_lsh_sql(n_hashes: int, band_size: int) -> str:
+def _km_lsh_sql(n_hashes: int, band_size: int,
+                max_bucket: int = LSH_MAX_BUCKET) -> str:
     sig_cols = ", ".join(
         f"min((h1 + {k} * h2) % {_KM_P}) AS mh{k}" for k in range(n_hashes)
     )
@@ -358,9 +397,16 @@ km AS (
 sig AS (SELECT doc_id, {sig_cols} FROM km GROUP BY doc_id),
 banded AS (
   {banded}
+),
+bucket_ok AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= {max_bucket}
+),
+capped AS (
+  SELECT banded.* FROM banded JOIN bucket_ok USING (band, band_key)
 )
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY d1, d2
 """
@@ -368,6 +414,61 @@ ORDER BY d1, d2
 
 MINHASH_LSH_SQL = _lsh_sql(_N_HASHES, _BAND_SIZE)
 MINHASH_LSH_FULL_SQL = _km_lsh_sql(_FULL_N_HASHES, _FULL_BAND_SIZE)
+
+
+# --- capped-LSH demonstration ------------------------------------------------
+# A degenerate corpus-hot band bucket (here: boilerplate docs that agree on
+# EVERY band) is the skew bomb the LSH_MAX_BUCKET cap defuses: without the
+# cap this query's plan collects a 120-doc array into one task and expands
+# 7,140 junk pairs; with it the bucket is dropped before expansion and the
+# result is exactly the base corpus's candidate set. The oracle builds the
+# same corpus and applies the same HAVING cap independently.
+_HOT_N = 120
+_HOT_TEXT = ("standard license boilerplate header repeated verbatim on "
+             "every page of the crawled dump corpus")
+
+
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates over documents + a planted 120-doc identical
+    boilerplate cluster; the bucket df-cap (LSH_MAX_BUCKET) drops the hot
+    band buckets before pair expansion, bounding per-task memory."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = spark.range(_HOT_N).select(
+        (F.col("id") + F.lit(2_000_000)).alias("doc_id"),
+        F.lit(_HOT_TEXT).alias("text"),
+    )
+    sig = _signatures(spark, sf_dir, _N_HASHES, docs=d.unionByName(hot))
+    return _band_pairs(_banded(sig, _N_HASHES, _BAND_SIZE))
+
+
+MINHASH_LSH_CAPPED_SQL = f"""
+WITH hot_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 2000000 + i AS doc_id, '{_HOT_TEXT}' AS text FROM range({_HOT_N}) t(i)
+),
+{_shingles_cte("hot_corpus").lstrip()},
+sig AS (
+  SELECT doc_id, {_sig_cols_sql(_N_HASHES)}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+),
+bucket_ok AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (
+  SELECT banded.* FROM banded JOIN bucket_ok USING (band, band_key)
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -603,6 +704,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_SQL),
     "minhash_lsh_full": (minhash_lsh_candidates_full, MINHASH_LSH_FULL_SQL),
+    "minhash_lsh_capped": (minhash_lsh_capped, MINHASH_LSH_CAPPED_SQL),
     "dedup_clusters": (dedup_connected_components, DEDUP_CC_SQL),
     "dedup_cleaned_corpus": (dedup_cleaned_corpus, DEDUP_CLEANED_SQL),
     "simhash_16": (simhash_16, SIMHASH_SQL),
