@@ -212,8 +212,87 @@ ORDER BY user_id
 """
 
 
+# --- nXML caption extraction (F15/S6, the reference's largest code mass) -----
+_FIG_XML_EXPR = """
+transform(sequence(1, cast(1 + doc_id % 3 AS int)), k ->
+  concat('<fig id="f', k, '"><caption><p>Figure ', k, ' : <italic>', w,
+         '</italic> panel <xref rid="bib', k, '">[', k, ']</xref> end</p>',
+         '</caption><graphic href="img_', doc_id, '_', k, '.jpg"/></fig>'))
+"""
+_FIG_SCHEMA = "body STRUCT<fig: ARRAY<STRUCT<_id: STRING, graphic: STRUCT<_href: STRING>>>>"
+
+
+def xml_caption_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 closed with Spark 4 XML support: per-image caption extraction
+    from an nXML-shaped payload — the reference's single largest stage
+    (``src/pmc_oa/build_json.py:601-634`` caption XPath per figure,
+    ``:768-791`` xref-preserving paragraph flatten).
+
+    Each document synthesizes a deterministic ``<article><body>`` with
+    1-3 ``<fig>`` elements (id + ``<graphic href>`` + a mixed-content
+    caption containing ``<italic>`` and ``<xref>``), then the extraction
+    recovers every field BY PARSING: ``from_xml`` pulls the typed fig
+    array (ids and graphic hrefs from attributes), ``xpath_string``
+    flattens each caption's mixed content to text with the xref display
+    text preserved in place — exactly the reference's flatten semantics.
+    The DuckDB oracle computes the expected output from the base columns
+    without XML, so a hash match proves the synthesize->parse round trip.
+
+    Scale: both ``from_xml`` and ``xpath_string`` are JVM expressions
+    inside whole-stage codegen — per-row, no shuffle, no Python; at
+    100 TB this is a map-only stage over the payload column."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").getItem(0).alias("w")
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<article><body>"),
+            F.concat_ws("", F.expr(_FIG_XML_EXPR)),
+            F.lit("</body></article>"),
+        ).alias("xml"),
+    )
+    caps = F.array(*[
+        F.expr(f"xpath_string(xml, '(//fig)[{i}]/caption/p')") for i in (1, 2, 3)
+    ])
+    parsed = base.select(
+        "doc_id", F.from_xml("xml", _FIG_SCHEMA).alias("p"), caps.alias("caps")
+    )
+    return (
+        parsed.select(
+            "doc_id", "caps",
+            F.posexplode(F.col("p.body.fig")).alias("pos", "fig"),
+        )
+        .select(
+            "doc_id",
+            F.col("fig._id").alias("fig_id"),
+            F.col("fig.graphic._href").alias("image_href"),
+            F.element_at("caps", F.col("pos") + 1).alias("caption"),
+        )
+        .orderBy("doc_id", "fig_id")
+    )
+
+
+XML_CAPTION_SQL = """
+WITH d AS (
+  SELECT doc_id, split_part(trim(text), ' ', 1) AS w, 1 + doc_id % 3 AS n_figs
+  FROM documents
+),
+figs AS (
+  SELECT doc_id, w, unnest(range(1, n_figs + 1)) AS k FROM d
+)
+SELECT doc_id,
+       'f' || k AS fig_id,
+       'img_' || doc_id || '_' || k || '.jpg' AS image_href,
+       'Figure ' || k || ' : ' || w || ' panel [' || k || '] end' AS caption
+FROM figs
+ORDER BY doc_id, fig_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "nested_assemble": (nested_assemble, NESTED_ASSEMBLE_SQL),
+    "xml_caption_extract": (xml_caption_extract, XML_CAPTION_SQL),
     "nested_explode": (nested_explode, NESTED_EXPLODE_SQL),
     "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
     "nested_field_search": (nested_field_search, NESTED_FIELD_SEARCH_SQL),
