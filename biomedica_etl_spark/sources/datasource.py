@@ -26,13 +26,14 @@ including one that knows nothing about this package — reads it with plain
   table's genesis snapshot).
 
 Scale notes: planning is manifest-driven and O(commits in range) on the
-driver; the batch reader and both writers move data as Arrow with zero
-Python row loops (the LWW fold is vectorized pandas/pyarrow — §2.9
-discipline), and the batch source parallelizes across all buckets. The
-one exception is the change-feed stream reader's row emission: the
-DataSourceStreamReader contract is tuple-iterating, so each micro-batch's
-rows cross a Python loop — acceptable because a micro-batch is O(delta),
-never O(table); swap to the Arrow contract when pyspark grows one.
+driver; the batch reader, the change-feed stream reader, and both writers
+all move data as Arrow record batches with zero Python row loops (the LWW
+fold is vectorized pandas/pyarrow — §2.9 discipline), and the batch
+source parallelizes across all buckets. The change feed additionally
+takes ``max_rows_per_batch`` to split a backfill-sized delta burst across
+micro-batches (offsets carry an intra-snapshot file position), so a
+single micro-batch is never O(backlog); row budgeting reads parquet
+footers only.
 
 Deployment note: Spark unpickles these classes inside executor PYTHON
 WORKER processes, so the package must be importable there — exactly what
@@ -86,10 +87,23 @@ def _arrow_schema(with_sys: bool) -> pa.Schema:
 
 def _read_stored_arrow(files: list[str]) -> pa.Table:
     """Read stored-shape parquet files into one Arrow table, normalized to
-    the target schema (ts cast to us; old INT96 files land as ns)."""
+    the target schema (ts cast to us; old INT96 files land as ns).
+
+    Pre-evolution files may lack later-added payload columns; they are
+    padded with typed nulls — mirroring how the engine's own Spark reader
+    (``spark.read.schema(stored_schema())``) tolerates them — so the
+    native source never breaks on a table the engine itself reads fine."""
     target = _arrow_schema(True)
-    tabs = [pq.read_table(f, columns=target.names).cast(target)
-            for f in files]
+    tabs = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        present = [n for n in target.names if n in pf.schema_arrow.names]
+        tab = pf.read(columns=present)
+        for i, field in enumerate(target):
+            if field.name not in present:
+                tab = tab.add_column(
+                    i, field, pa.nulls(len(tab), type=field.type))
+        tabs.append(tab.select(target.names).cast(target))
     return pa.concat_tables(tabs) if tabs else target.empty_table()
 
 
@@ -274,16 +288,32 @@ def _discard_staged(messages) -> None:
             shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
-def _commit_appended(root: str, messages, batch_id: int | None) -> None:
+def _commit_appended(root: str, messages, batch_id: int | None,
+                     writer_id: str | None = None) -> None:
     """Driver half shared by the batch writer and the streaming sink: fold
     the successful attempts' file lists into ONE delta layer dir (same-FS
     renames, no data copy) and publish it with ``commit_delta`` — the
     same manifest protocol every engine write path uses, so readers, time
     travel, fencing, expiration, and maintenance see writer appends as
     ordinary MOR layers. A fenced (already-committed) batch id discards
-    the staged files and changes nothing."""
+    the staged files and changes nothing — UNLESS the retained snapshot
+    that committed this id records a DIFFERENT writer identity, which
+    means two queries collided on a batch-id namespace; that is data
+    loss, so it fails loudly instead of discarding."""
     table = CowTable(root)
     if batch_id is not None and table.is_committed(batch_id):
+        if writer_id is not None:
+            prior = next((s for s in table.snapshots()
+                          if s.get("batch_id") == batch_id), None)
+            prior_writer = (prior or {}).get("summary", {}).get("writer_id")
+            if prior_writer is not None and prior_writer != writer_id:
+                raise RuntimeError(
+                    f"batch id {batch_id} was committed by a different "
+                    f"writer ({prior_writer!r}, this query is {writer_id!r})"
+                    " — two streaming queries collided on a batch_id "
+                    "namespace; give each its own checkpointLocation or an "
+                    "explicit disjoint batch_id_base instead of discarding "
+                    "this query's micro-batch as a replay")
         _discard_staged(messages)
         return
     n_rows = 0
@@ -320,8 +350,10 @@ def _commit_appended(root: str, messages, batch_id: int | None) -> None:
     if not moved and batch_id is None:
         os.rmdir(final)
         return  # unfenced empty append: nothing to record
-    table.commit_delta(batch_id, moved, lo, hi,
-                       {"writer": "datasource", "rows_appended": n_rows})
+    summary = {"writer": "datasource", "rows_appended": n_rows}
+    if writer_id is not None:
+        summary["writer_id"] = writer_id
+    table.commit_delta(batch_id, moved, lo, hi, summary)
 
 
 class CowTableWriter(DataSourceArrowWriter):
@@ -353,17 +385,45 @@ class CowTableWriter(DataSourceArrowWriter):
 class CowTableStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("cowtable")`` — the table as a native
     EXACTLY-ONCE streaming sink: Structured Streaming's epoch id becomes
-    the engine's fenced batch id (offset by ``batch_id_base``), so a
+    the engine's fenced batch id (offset by a per-query base), so a
     micro-batch replayed after failure/restart re-stages its files but
     its commit is a structural no-op and the files are discarded — the
     same idempotent-commit discipline the north rule demands of the
     runner, available to ANY streaming query. Each epoch appends one MOR
-    delta layer."""
+    delta layer.
+
+    Batch-id namespacing: two queries writing the same table (or one
+    query restarted with a FRESH checkpoint) must not collide on fenced
+    ids, or the second query's batches are silently discarded as
+    replays. When ``batch_id_base`` is not given explicitly, the base is
+    derived from a stable hash of ``checkpointLocation`` — same
+    checkpoint => same base (correct replay fencing), different
+    checkpoint => disjoint base. Every commit also records a
+    ``writer_id`` in the snapshot summary, and a fenced commit whose
+    prior snapshot carries a DIFFERENT writer_id fails loudly instead of
+    discarding (see ``_commit_appended``)."""
 
     def __init__(self, options: dict) -> None:
+        from ..cdc.xxhash import xxh64
+
         self.root = options["root"]
         self.n_buckets = int(options.get("n_buckets", 16))
-        self.base = int(options.get("batch_id_base", 1_000_000))
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation")
+        bid = options.get("batch_id_base")
+        if bid is not None:
+            self.base = int(bid)
+            self.writer_id = f"base:{self.base}"
+        elif ckpt:
+            # 1e6 offset clears the runner's small-int ids; 4e6 distinct
+            # bases spaced 1e9 apart keep two queries disjoint for the
+            # first 1e9 epochs each, well inside int64
+            h = xxh64(os.path.abspath(ckpt).encode())
+            self.base = 1_000_000 + (h % 4_000_000) * 1_000_000_000
+            self.writer_id = f"ckpt:{os.path.abspath(ckpt)}"
+        else:
+            self.base = 1_000_000
+            self.writer_id = "default"
         table = CowTable(self.root, n_buckets=self.n_buckets)
         if table.current_snapshot() is None:
             table.create()
@@ -373,7 +433,8 @@ class CowTableStreamWriter(DataSourceStreamArrowWriter):
         return _write_change_batches(iterator, self.root, self.n_buckets)
 
     def commit(self, messages, batchId: int) -> None:
-        _commit_appended(self.root, messages, self.base + batchId)
+        _commit_appended(self.root, messages, self.base + batchId,
+                         writer_id=self.writer_id)
 
     def abort(self, messages, batchId: int) -> None:
         _discard_staged(messages)
@@ -400,35 +461,124 @@ class CowTableChangesDataSource(DataSource):
 
 
 class ChangesStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"snapshot_id": N}`` (snapshot fully served) or
+    ``{"snapshot_id": N, "pos": K}`` (first K delta files of snapshot N
+    served) — the ``pos`` form exists so ``max_rows_per_batch`` can split
+    a backfill-sized delta burst across micro-batches instead of serving
+    an O(backlog) batch. Emission is Arrow record batches end to end
+    (pyspark >= 4.1 accepts RecordBatch iterators from stream readers),
+    so no row ever crosses a Python loop."""
+
     def __init__(self, options: dict) -> None:
         self.root = options["root"]
         self._start = options.get("start_snapshot_id")
+        cap = options.get("max_rows_per_batch")
+        self.max_rows = int(cap) if cap is not None else None
+        # anchor for capped offset planning; None after a checkpoint
+        # restart until the first trigger re-establishes it (that one
+        # batch serves uncapped — documented)
+        self._last_end: dict | None = None
 
     def _table(self) -> CowTable:
         return CowTable(self.root)
 
+    @staticmethod
+    def _delta_files(table: CowTable, s: dict, parent: dict) -> list[str]:
+        """Ordered new delta files of snapshot ``s`` vs its parent."""
+        parent_dirs = {
+            d for ds in parent.get("delta_dirs", {}).values() for d in ds}
+        snap_dirs = {
+            d for ds in s.get("delta_dirs", {}).values() for d in ds}
+        files: list[str] = []
+        for d in sorted(snap_dirs - parent_dirs):
+            files.extend(sorted(glob.glob(
+                os.path.join(table.root, d, "*.parquet"))))
+        return files
+
     def initialOffset(self) -> dict:
         if self._start is not None:
-            return {"snapshot_id": int(self._start)}
-        table = self._table()
-        snaps = table.snapshots()
-        return {"snapshot_id": snaps[0]["snapshot_id"] if snaps else 0}
+            self._last_end = {"snapshot_id": int(self._start)}
+        else:
+            table = self._table()
+            snaps = table.snapshots()
+            self._last_end = {
+                "snapshot_id": snaps[0]["snapshot_id"] if snaps else 0}
+        return self._last_end
 
     def latestOffset(self) -> dict:
         table = self._table()
         cur = table.current_snapshot()
-        return {"snapshot_id": cur["snapshot_id"] if cur else 0}
+        cur_sid = cur["snapshot_id"] if cur else 0
+        if self.max_rows is None:
+            return {"snapshot_id": cur_sid}
+        anchor = self._last_end
+        if anchor is None:
+            # the runner may call latestOffset() before initialOffset():
+            # anchor at the configured start. After a checkpoint restart
+            # this can sit BEHIND the committed offset — the first
+            # partitions() call then fast-forwards the anchor (see below),
+            # so at most one empty catch-up batch is planned.
+            anchor = self.initialOffset()
+        lo, lo_pos = anchor["snapshot_id"], anchor.get("pos")
+        budget = self.max_rows
+        end = dict(anchor)
+        table._load_all()
+        for s in table.snapshots():
+            sid = s["snapshot_id"]
+            if sid < lo or sid > cur_sid:
+                continue
+            if sid == lo and lo_pos is None:
+                continue  # fully served already
+            parent = (table.snapshot_by_id(s["parent_id"])
+                      if s.get("parent_id") is not None else None) or {}
+            files = self._delta_files(table, s, parent)
+            start_idx = lo_pos if sid == lo else 0
+            n = start_idx
+            for f in files[start_idx:]:
+                if budget <= 0:
+                    break
+                budget -= pq.ParquetFile(f).metadata.num_rows
+                n += 1
+            end = ({"snapshot_id": sid} if n >= len(files)
+                   else {"snapshot_id": sid, "pos": n})
+            if budget <= 0:
+                break
+        self._last_end = end
+        return end
 
     def partitions(self, start: dict, end: dict) -> list[_DeltaSlice]:
-        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        from itertools import groupby
+
+        lo, lo_pos = start["snapshot_id"], start.get("pos")
+        hi, hi_pos = end["snapshot_id"], end.get("pos")
         table = self._table()
         table._load_all()
+        if table.snapshots() and table.snapshot_by_id(lo) is None:
+            # after expire_snapshots dropped the start snapshot, the
+            # cumulative-delta diff below would silently re-serve retained
+            # snapshots' whole histories — refuse, like read_changes_since
+            raise ValueError(
+                f"start offset snapshot {lo} is no longer retained "
+                "(expired): the change feed cannot prove which deltas were "
+                "already served — resync from a full cowtable scan and "
+                "restart the stream from the current snapshot")
         slices: list[_DeltaSlice] = []
         for s in table.snapshots():
             sid = s["snapshot_id"]
-            if sid <= lo or sid > hi:
+            if sid < lo or sid > hi:
                 continue
-            parent = table.snapshot_by_id(s["parent_id"]) or {}
+            if sid == lo and lo_pos is None:
+                continue  # fully served by a prior batch
+            if s.get("parent_id") is not None:
+                parent = table.snapshot_by_id(s["parent_id"])
+                if parent is None:
+                    raise ValueError(
+                        f"snapshot {sid}'s parent {s['parent_id']} was "
+                        "expired inside the offset range: the delta diff "
+                        "cannot be reconstructed — resync from a full "
+                        "cowtable scan")
+            else:
+                parent = {}
             if s["bucket_dirs"] != parent.get("bucket_dirs", {}):
                 raise ValueError(
                     f"snapshot {sid} rewrote base files "
@@ -444,22 +594,29 @@ class ChangesStreamReader(DataSourceStreamReader):
                     f"snapshot {sid} removed delta layers "
                     f"({s.get('summary', {}).get('commit_type', '?')}): "
                     "the change feed cannot cross a rollback — resync")
-            for d in sorted(snap_dirs - parent_dirs):
-                files = sorted(glob.glob(
-                    os.path.join(table.root, d, "*.parquet")))
-                if files:
-                    slices.append(_DeltaSlice(files))
+            files = self._delta_files(table, s, parent)
+            lo_idx = lo_pos if sid == lo else 0
+            hi_idx = hi_pos if (sid == hi and hi_pos is not None) else len(files)
+            for _, grp in groupby(files[lo_idx:hi_idx], key=os.path.dirname):
+                slices.append(_DeltaSlice(list(grp)))
+        # keep the capped planner's anchor aligned with what was actually
+        # planned; after a checkpoint restart the committed start can be
+        # AHEAD of the capped end computed from the configured start —
+        # fast-forward so already-served history is never re-walked
+        def _key(off: dict) -> tuple:
+            return (off["snapshot_id"],
+                    off["pos"] if "pos" in off else float("inf"))
+
+        self._last_end = dict(max(start, end, key=_key))
         return slices or [_DeltaSlice([])]
 
-    def read(self, partition: _DeltaSlice) -> Iterator[tuple]:
+    def read(self, partition: _DeltaSlice) -> Iterator[pa.RecordBatch]:
         if not partition.files:
             return
-        stored = _read_stored_arrow(partition.files)
-        for row in stored.cast(_arrow_schema(True)).to_pylist():
-            yield tuple(row[n] for n in _arrow_schema(True).names)
+        yield from _read_stored_arrow(partition.files).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are snapshot ids; nothing to reclaim
+        pass  # offsets are snapshot ids (+file pos); nothing to reclaim
 
 
 def register_data_sources(spark) -> None:
