@@ -41,7 +41,7 @@ from .schema import (
     align_to_target,
     target_change_schema,
 )
-from .table import CowTable
+from .table import ConcurrentCommitError, CowTable
 
 
 class _TrackedPool:
@@ -107,6 +107,7 @@ class CdcRunner:
         pipeline_depth: int = 1,
         max_records_per_file: int = 0,
         audit: Any = None,
+        commit_retries: int = 3,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -151,6 +152,14 @@ class CdcRunner:
                              "(publish/abort must interleave with commits)")
         self.audit = audit
         self.pipeline_depth = pipeline_depth
+        # optimistic-concurrency loser policy: on ConcurrentCommitError the
+        # runner refresh()es its table handle and re-runs the commit (up to
+        # this many times) instead of surfacing the race to the caller —
+        # two runners feeding the same table from disjoint batch ranges
+        # both make progress. Exactly-once is unchanged: after the refresh
+        # the fencing check turns a same-batch replay into a no-op.
+        self.commit_retries = commit_retries
+        self.commit_races_retried = 0  # observability: races absorbed
         # O7 shard sizing: cap rows per written data file (0 = uncapped)
         self.max_records_per_file = max_records_per_file
         self.registry = SchemaRegistry()
@@ -159,6 +168,24 @@ class CdcRunner:
 
     def pending(self) -> list[int]:
         return pending_batches(self.spark, self.log_dir, self.table)
+
+    def _retry_commit(self, fn: Any) -> Any:
+        """Run ``fn`` (a closure ending in a snapshot commit); on
+        ``ConcurrentCommitError`` refresh the table handle and re-run,
+        bounded by ``commit_retries``. COW retries re-PLAN against the new
+        current snapshot (the old plan's bucket reads are stale); MOR
+        commit-only retries are metadata-only since a staged delta layer is
+        parent-independent. Both apply paths begin with an is_committed
+        fence, so a batch the winning writer already applied replays as a
+        no-op rather than double-committing."""
+        for attempt in range(self.commit_retries + 1):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                if attempt == self.commit_retries:
+                    raise
+                self.commit_races_retried += 1
+                self.table.refresh()
 
     def run(self, max_batches: int | None = None) -> RunResult:
         if self.async_lineage and self._lineage_pool is None:
@@ -182,7 +209,7 @@ class CdcRunner:
                 self.spark, self.log_dir, batch_id, schema_of[batch_id], self.registry
             )
             apply_fn = merge_batch if self.mode == "cow" else mor_apply_batch
-            snap = apply_fn(
+            snap = self._retry_commit(lambda: apply_fn(
                 self.spark,
                 self.table,
                 changes,
@@ -196,7 +223,7 @@ class CdcRunner:
                 quarantine_dir=self.quarantine_dir,
                 max_records_per_file=self.max_records_per_file,
                 wap=self.audit is not None,
-            )
+            ))
             if self.audit is not None and snap is not None:
                 verdict = self.audit(self.spark, self.table)
                 ok, reason = (verdict if isinstance(verdict, tuple)
@@ -206,6 +233,11 @@ class CdcRunner:
                     result.batches_rejected.append(batch_id)
                     result.reject_reasons.append(reason)
                     continue
+                # NOT retried on ConcurrentCommitError: a staged snapshot
+                # froze its parent + carried-forward dirs at stage time, so
+                # re-publishing after another writer's commit would drop
+                # that writer's buckets (lost update). Audit-gated ingest is
+                # single-writer by contract — surface the race instead.
                 pub = self.table.publish_staged()
                 rows = snap.get("_lineage_rows")
                 if rows:
@@ -218,10 +250,11 @@ class CdcRunner:
                                        snapshot_id=pub["snapshot_id"])
                 snap = pub
             if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
-                compact(self.spark, self.table,
-                        shuffle_salts=self.shuffle_salts,
-                        max_records_per_file=self.max_records_per_file,
-                        buckets=self._buckets_at_threshold())
+                self._retry_commit(lambda: compact(
+                    self.spark, self.table,
+                    shuffle_salts=self.shuffle_salts,
+                    max_records_per_file=self.max_records_per_file,
+                    buckets=self._buckets_at_threshold()))
             if snap is None:
                 result.batches_skipped.append(batch_id)
             else:
@@ -270,11 +303,15 @@ class CdcRunner:
         def _commit_head(window: Any) -> None:
             batch_id, fut = window.popleft()
             staged = fut.result()  # re-raises staging failures in order
-            snap = None if staged is None else mor_commit_staged(
-                self.spark, self.table, staged,
-                lineage_dir=self.lineage_dir,
-                lineage_executor=self._lineage_pool,
-            )
+            # commit-only retry: a staged MOR layer is parent-independent,
+            # so the loser's retry is metadata-only (commit_delta re-reads
+            # the refreshed current snapshot and merges delta_dirs into it)
+            snap = None if staged is None else self._retry_commit(
+                lambda: mor_commit_staged(
+                    self.spark, self.table, staged,
+                    lineage_dir=self.lineage_dir,
+                    lineage_executor=self._lineage_pool,
+                ))
             if snap is None:
                 result.batches_skipped.append(batch_id)
             else:
@@ -282,10 +319,11 @@ class CdcRunner:
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
             if self.table.max_delta_layers() >= self.compact_every:
-                compact(self.spark, self.table,
-                        shuffle_salts=self.shuffle_salts,
-                        max_records_per_file=self.max_records_per_file,
-                        buckets=self._buckets_at_threshold())
+                self._retry_commit(lambda: compact(
+                    self.spark, self.table,
+                    shuffle_salts=self.shuffle_salts,
+                    max_records_per_file=self.max_records_per_file,
+                    buckets=self._buckets_at_threshold()))
 
         with ThreadPoolExecutor(
             max_workers=self.pipeline_depth, thread_name_prefix="mor-stage"

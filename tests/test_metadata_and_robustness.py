@@ -176,6 +176,84 @@ def test_concurrent_writer_detected_and_loser_recovers(tmp_path):
     assert CowTable(str(tmp_path / "t")).committed_batch_ids() == {0, 1, 2}
 
 
+def _write_log_batch(spark, log_dir, batch_id, rows):
+    """rows: (lsn, op, conv_id, turn_idx) -> one epoch-2 change-log batch."""
+    from biomedica_etl_spark.cdc.schema import change_schema_for_epoch
+
+    full = [(l, o, c, t, "user", f"text-{l}", None, TS)
+            for (l, o, c, t) in rows]
+    df = spark.createDataFrame(full, change_schema_for_epoch(2))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "schema_id=2", f"batch_id={batch_id}"))
+
+
+def test_two_runners_disjoint_ranges_both_progress_without_manual_retry(
+        spark, tmp_path):
+    """Concurrent-writer auto-retry (CdcRunner.commit_retries): two runners
+    feed the SAME table from disjoint batch ranges, strictly interleaved so
+    every commit after the first is planned against a stale cached parent.
+    Each loser refresh()es and retries internally — all batches land exactly
+    once, no ConcurrentCommitError escapes, and the merged state is the LWW
+    fold of both streams."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log_a, log_b = str(tmp_path / "logA"), str(tmp_path / "logB")
+    troot = str(tmp_path / "t")
+    _write_log_batch(spark, log_a, 0, [(1, "I", "conv-a", 0), (2, "I", "conv-a", 1)])
+    _write_log_batch(spark, log_a, 1, [(3, "U", "conv-a", 0), (4, "I", "conv-b", 0)])
+    _write_log_batch(spark, log_b, 10, [(101, "I", "conv-c", 0)])
+    _write_log_batch(spark, log_b, 11, [(102, "I", "conv-c", 1), (103, "D", "conv-a", 1)])
+    ra = CdcRunner(spark, log_a, troot, n_buckets=4, mode="mor",
+                   compact_every=1_000_000)
+    rb = CdcRunner(spark, log_b, troot, n_buckets=4, mode="mor",
+                   compact_every=1_000_000)
+    # prime both metadata caches NOW: later runs plan against these cached
+    # parents, so every post-first commit genuinely races
+    ra.pending(), rb.pending()
+    # interleave one batch at a time; rb/ra alternate as the stale loser
+    ra.run(max_batches=1)
+    rb.run(max_batches=1)
+    ra.run(max_batches=1)
+    rb.run(max_batches=1)
+    # at least rb's first commit + both second commits were stale losers
+    assert ra.commit_races_retried + rb.commit_races_retried >= 3
+    t = CowTable(troot)
+    assert t.committed_batch_ids() == {0, 1, 10, 11}
+    # read through a FRESH handle: ra's cache predates rb's last commit
+    state = [(r["conv_id"], r["turn_idx"], r["text"])
+             for r in t.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert state == [("conv-a", 0, "text-3"), ("conv-b", 0, "text-4"),
+                     ("conv-c", 0, "text-101"), ("conv-c", 1, "text-102")]
+    # COW mode retry re-PLANS against the refreshed snapshot (stale bucket
+    # carry-forwards would otherwise drop the other writer's commits)
+    log_c, log_d = str(tmp_path / "logC"), str(tmp_path / "logD")
+    _write_log_batch(spark, log_c, 20, [(201, "I", "conv-d", 0)])
+    _write_log_batch(spark, log_d, 30, [(301, "I", "conv-e", 0)])
+    rc = CdcRunner(spark, log_c, troot, n_buckets=4, mode="cow")
+    rd = CdcRunner(spark, log_d, troot, n_buckets=4, mode="cow")
+    # prime both at the SAME parent; rd commits second and must auto-retry
+    rc.pending(), rd.pending()
+    rc.run()
+    rd.run()
+    assert rd.commit_races_retried == 1
+    t.refresh()
+    assert t.committed_batch_ids() == {0, 1, 10, 11, 20, 30}
+    assert t.read(spark).count() == 6  # conv-d/conv-e joined the 4 above
+    # counterfactual: with retries disabled the identical race SURFACES
+    import pytest as _pytest
+
+    from biomedica_etl_spark.cdc.table import ConcurrentCommitError
+
+    log_e = str(tmp_path / "logE")
+    _write_log_batch(spark, log_e, 40, [(401, "I", "conv-f", 0)])
+    re_ = CdcRunner(spark, log_e, troot, n_buckets=4, mode="cow",
+                    commit_retries=0)
+    re_.pending()  # prime the cache, THEN an external writer wins the race
+    CowTable(troot).commit(41, {}, 410, 410, {})
+    with _pytest.raises(ConcurrentCommitError):
+        re_.run()
+
+
 # -------------------------------------------------- malformed-null events
 def test_null_op_and_null_turn_rows_are_quarantined_not_lost(spark, tmp_path):
     t = CowTable(str(tmp_path / "t"), n_buckets=4)
