@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 from .lineage import append_lineage
 from .reduce import lww_reduce, lww_reduce_aligned, lww_reduce_salted
 from .schema import CHANGE_COLS, KEY_COLS, PAYLOAD_COLS, SYS_DELETED, SYS_LSN
-from .table import BUCKET_COL, CowTable, bucket_expr
+from .table import BUCKET_COL, ConcurrentCommitError, CowTable, bucket_expr
 
 def _valid_pred():
     """Event validity: the pre-merge gate (reference quality gate P8 /
@@ -546,7 +546,14 @@ def compact(
     Same single-shuffle aligned plan as the merge: stored rows (base +
     layers) are re-expressed as events and LWW-reduced straight into the
     bucket-partitioned write — one wide shuffle, salt-spread so a hot
-    bucket compacts on ``shuffle_salts`` tasks instead of one."""
+    bucket compacts on ``shuffle_salts`` tasks instead of one.
+
+    Safe to run CONCURRENT with ingest on the same table (the async-
+    maintenance mode of ``CdcRunner``): the commit records exactly which
+    layers the fold consumed and preserves any layer an interleaved apply
+    appended since (``CowTable.commit_compaction``), and a lost
+    optimistic-concurrency race retries the METADATA only — the staged
+    fold output stays valid against any newer parent."""
     snap = table.current_snapshot()
     if not snap or not snap.get("delta_dirs"):
         return None
@@ -555,7 +562,12 @@ def compact(
         set(buckets) & set(layered))
     if not buckets:
         return None
-    stored = table.read_stored_files(spark, buckets=buckets)
+    folded = {b: list(snap["delta_dirs"][str(b)]) for b in buckets}
+    # pin the fold's read set to the planned snapshot: a concurrent apply
+    # committing between plan and read must not smuggle unfolded rows into
+    # a base that the commit would then claim covers them
+    stored = table.read_stored_files(spark, buckets=buckets,
+                                     snapshot_id=snap["snapshot_id"])
     as_events = _base_as_changes(stored, table.n_buckets)
     resolved = _to_stored(
         lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
@@ -571,10 +583,21 @@ def compact(
             empty = os.path.join(stage, f"{BUCKET_COL}={b}")
             os.makedirs(empty, exist_ok=True)
             rewritten[b] = empty
-    return table.commit(
-        None, rewritten, snap["lsn_lo"], snap["lsn_hi"],
-        {"commit_type": "compact", "buckets_rewritten": len(rewritten)},
-    )
+    # commit with a metadata-only retry: losing the optimistic-concurrency
+    # race to an interleaved apply does NOT invalidate the fold (appenders
+    # only add layers; commit_compaction preserves unfolded ones)
+    for attempt in range(4):
+        try:
+            return table.commit_compaction(
+                rewritten, folded,
+                {"commit_type": "compact",
+                 "buckets_rewritten": len(rewritten)},
+            )
+        except ConcurrentCommitError:
+            if attempt == 3:
+                raise
+            table.refresh()
+    return None  # unreachable
 
 
 def rewrite_small_files(

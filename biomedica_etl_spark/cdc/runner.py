@@ -108,6 +108,7 @@ class CdcRunner:
         max_records_per_file: int = 0,
         audit: Any = None,
         commit_retries: int = 3,
+        async_compact: bool = False,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -160,6 +161,18 @@ class CdcRunner:
         # the fencing check turns a same-batch replay into a no-op.
         self.commit_retries = commit_retries
         self.commit_races_retried = 0  # observability: races absorbed
+        # async maintenance: compaction of at-threshold buckets runs on a
+        # dedicated thread in the FAIR pool "maintenance", CONCURRENT with
+        # the next batches' applies, through its OWN table handle — the
+        # optimistic-concurrency commit (compact's metadata-only retry +
+        # this runner's commit_retries) is the only coordination needed.
+        # This is the lakehouse steady-state shape: ingest never stops for
+        # maintenance; maintenance consumes capacity ingest leaves idle.
+        self.async_compact = async_compact
+        self._maint_pool: Any = None
+        self._maint_future: Any = None
+        self._maint_table: CowTable | None = None
+        self.compactions_run = 0
         # O7 shard sizing: cap rows per written data file (0 = uncapped)
         self.max_records_per_file = max_records_per_file
         self.registry = SchemaRegistry()
@@ -198,6 +211,7 @@ class CdcRunner:
         result = RunResult()
         if self.pipeline_depth > 1 and self.mode == "mor":
             self._run_pipelined(schema_of, result, max_batches)
+            self.drain_maintenance()
             if self._lineage_pool is not None:
                 self._lineage_pool.drain()
                 self._lineage_pool = None
@@ -208,22 +222,40 @@ class CdcRunner:
             changes = read_batch(
                 self.spark, self.log_dir, batch_id, schema_of[batch_id], self.registry
             )
-            apply_fn = merge_batch if self.mode == "cow" else mor_apply_batch
-            snap = self._retry_commit(lambda: apply_fn(
-                self.spark,
-                self.table,
-                changes,
-                batch_id,
-                salted=self.salted,
-                n_salts=self.n_salts,
-                lineage_dir=self.lineage_dir,
-                plan=self.plan,
-                shuffle_salts=self.shuffle_salts,
-                lineage_executor=self._lineage_pool,
-                quarantine_dir=self.quarantine_dir,
-                max_records_per_file=self.max_records_per_file,
-                wap=self.audit is not None,
-            ))
+            if self.mode == "mor" and self.audit is None:
+                # stage/commit split so a lost commit race (e.g. to an
+                # async compaction) retries the METADATA only — the staged
+                # delta layer is parent-independent, no wide-job re-run
+                staged = mor_stage_batch(
+                    self.spark, self.table, changes, batch_id,
+                    salted=self.salted, n_salts=self.n_salts, plan=self.plan,
+                    shuffle_salts=self.shuffle_salts,
+                    quarantine_dir=self.quarantine_dir,
+                    max_records_per_file=self.max_records_per_file,
+                )
+                snap = None if staged is None else self._retry_commit(
+                    lambda: mor_commit_staged(
+                        self.spark, self.table, staged,
+                        lineage_dir=self.lineage_dir,
+                        lineage_executor=self._lineage_pool,
+                    ))
+            else:
+                apply_fn = merge_batch if self.mode == "cow" else mor_apply_batch
+                snap = self._retry_commit(lambda: apply_fn(
+                    self.spark,
+                    self.table,
+                    changes,
+                    batch_id,
+                    salted=self.salted,
+                    n_salts=self.n_salts,
+                    lineage_dir=self.lineage_dir,
+                    plan=self.plan,
+                    shuffle_salts=self.shuffle_salts,
+                    lineage_executor=self._lineage_pool,
+                    quarantine_dir=self.quarantine_dir,
+                    max_records_per_file=self.max_records_per_file,
+                    wap=self.audit is not None,
+                ))
             if self.audit is not None and snap is not None:
                 verdict = self.audit(self.spark, self.table)
                 ok, reason = (verdict if isinstance(verdict, tuple)
@@ -249,18 +281,15 @@ class CdcRunner:
                         append_lineage(self.lineage_dir, rows,
                                        snapshot_id=pub["snapshot_id"])
                 snap = pub
-            if self.mode == "mor" and self.table.max_delta_layers() >= self.compact_every:
-                self._retry_commit(lambda: compact(
-                    self.spark, self.table,
-                    shuffle_salts=self.shuffle_salts,
-                    max_records_per_file=self.max_records_per_file,
-                    buckets=self._buckets_at_threshold()))
+            if self.mode == "mor":
+                self._maybe_compact()
             if snap is None:
                 result.batches_skipped.append(batch_id)
             else:
                 result.batches_applied.append(batch_id)
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+        self.drain_maintenance()
         if self._lineage_pool is not None:
             self._lineage_pool.drain()
             self._lineage_pool = None
@@ -318,12 +347,7 @@ class CdcRunner:
                 result.batches_applied.append(batch_id)
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
-            if self.table.max_delta_layers() >= self.compact_every:
-                self._retry_commit(lambda: compact(
-                    self.spark, self.table,
-                    shuffle_salts=self.shuffle_salts,
-                    max_records_per_file=self.max_records_per_file,
-                    buckets=self._buckets_at_threshold()))
+            self._maybe_compact()
 
         with ThreadPoolExecutor(
             max_workers=self.pipeline_depth, thread_name_prefix="mor-stage"
@@ -335,6 +359,55 @@ class CdcRunner:
                     _commit_head(window)
             while window:
                 _commit_head(window)
+
+    def _maybe_compact(self) -> None:
+        """Fold at-threshold buckets: inline (blocking the apply loop) by
+        default, or on the maintenance thread when ``async_compact``."""
+        if self.table.max_delta_layers() < self.compact_every:
+            return
+        buckets = self._buckets_at_threshold()
+        if not buckets:
+            return
+        if not self.async_compact:
+            self._retry_commit(lambda: compact(
+                self.spark, self.table,
+                shuffle_salts=self.shuffle_salts,
+                max_records_per_file=self.max_records_per_file,
+                buckets=buckets))
+            self.compactions_run += 1
+            return
+        if self._maint_future is not None:
+            if not self._maint_future.done():
+                return  # one maintenance job at a time; catch up next commit
+            self._maint_future.result()  # surface maintenance failures here
+        if self._maint_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._maint_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="maintenance")
+        self._maint_future = self._maint_pool.submit(
+            self._compact_async, buckets)
+
+    def _compact_async(self, buckets: list[int]) -> None:
+        # own handle: CowTable caches are not thread-safe, and the apply
+        # loop's handle must keep planning against ITS view (the commit CAS
+        # + commit_retries reconcile the two views, in either direction)
+        if self._maint_table is None:
+            self._maint_table = CowTable(self.table.root)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "maintenance")
+        self._maint_table.refresh()
+        compact(self.spark, self._maint_table,
+                shuffle_salts=self.shuffle_salts,
+                max_records_per_file=self.max_records_per_file,
+                buckets=buckets)
+        self.compactions_run += 1
+
+    def drain_maintenance(self) -> None:
+        """Block until the in-flight async compaction (if any) lands."""
+        if self._maint_future is not None:
+            self._maint_future.result()
+            self._maint_future = None
 
     def _buckets_at_threshold(self) -> list[int]:
         """Partial-compaction target set: only buckets whose layer count

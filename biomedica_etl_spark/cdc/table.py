@@ -390,6 +390,52 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    def commit_compaction(
+        self,
+        rewritten: dict[int, str],
+        folded: dict[int, list[str]],
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Publish a compaction that folded EXACTLY the layers in ``folded``
+        (bucket -> layer relpaths read by the fold). Unlike ``commit``,
+        which drops ALL of a rewritten bucket's layers, this pops only the
+        folded ones — so an ingest commit that appended a new layer to the
+        same bucket between the fold's read and this commit keeps that
+        layer live. This is what makes maintenance safe to run CONCURRENT
+        with ingest: appenders only ever add layers, the fold only consumes
+        layers that existed at its read, and the LWW max-lsn read resolves
+        the new base against any layers that arrived since. Retries after
+        ``ConcurrentCommitError`` are metadata-only for the same reason —
+        the staged fold output stays valid against any newer parent."""
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        bucket_dirs = dict(parent["bucket_dirs"])
+        delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
+        for b, d in rewritten.items():
+            bucket_dirs[str(b)] = os.path.relpath(d, self.root)
+            consumed = set(folded.get(b, []) or folded.get(str(b), []))
+            remaining = [x for x in delta_dirs.get(str(b), []) if x not in consumed]
+            if remaining:
+                delta_dirs[str(b)] = remaining
+            else:
+                delta_dirs.pop(str(b), None)
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": None,
+            # watermark continuity: a maintenance commit carries the
+            # commit-time parent's applied-lsn range, which under a lost
+            # race is NEWER than the fold's planned snapshot
+            "lsn_lo": parent["lsn_lo"],
+            "lsn_hi": parent["lsn_hi"],
+            "n_buckets": parent["n_buckets"],
+            "bucket_dirs": bucket_dirs,
+            "delta_dirs": delta_dirs,
+            "summary": summary or {},
+        }
+        self._write_snapshot(snap)
+        return snap
+
     def commit_delta(
         self,
         batch_id: int,

@@ -10,8 +10,42 @@ or left to AQE's coalescing).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# FAIR-scheduler pool declarations. The "maintenance" pool (async
+# compaction in CdcRunner) gets HALF the weight of the (dynamically named,
+# default-weight-1) ingest pools, so background folds yield cluster share
+# to applies whenever both have runnable stages; minShare 0 means a fully
+# idle ingest hands maintenance the whole cluster. Undeclared pools keep
+# Spark's defaults (FIFO within, weight 1), which is what the pipelined
+# runner's per-batch pools want. Materialized to a temp file at session
+# build because the package may be deployed as a --py-files zip, where a
+# bundled resource has no on-disk path spark.scheduler.allocation.file
+# could point at.
+_FAIR_POOLS_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="maintenance">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+  <pool name="default">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>2</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_pools_file() -> str:
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix="-fairscheduler.xml", delete=False)
+    f.write(_FAIR_POOLS_XML)
+    f.close()
+    return f.name
 
 
 def get_spark(
@@ -70,6 +104,7 @@ def get_spark(
         # instead of queueing behind it (FIFO would serialize the jobs);
         # single-job workloads are unaffected
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _fair_pools_file())
         # bucket-partitioned layer dirs (128 buckets) exceed the default
         # parallel-listing threshold (32), making every layer read-back
         # launch a full Spark listing job; driver-side listing of a few
