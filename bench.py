@@ -130,6 +130,7 @@ def _bench_log_dir(events: int, batches: int) -> str:
 def run_cdc_apply(
     spark, workdir: str, events: int = CDC_EVENTS, batches: int = CDC_BATCHES,
     compact_every: int = COMPACT_EVERY, pipeline_depth: int | None = None,
+    async_compact: bool = False,
 ) -> tuple[float, int, "object"]:
     """Apply the full bench log; returns (seconds, events applied, runner)."""
     from biomedica_etl_spark.cdc.runner import CdcRunner
@@ -143,7 +144,8 @@ def run_cdc_apply(
     runner = CdcRunner(spark, log, table_root, n_buckets=N_BUCKETS,
                        mode=CDC_MODE, compact_every=compact_every,
                        shuffle_salts=SHUFFLE_SALTS, async_lineage=True,
-                       pipeline_depth=depth if CDC_MODE == "mor" else 1)
+                       pipeline_depth=depth if CDC_MODE == "mor" else 1,
+                       async_compact=async_compact)
     t0 = time.time()
     runner.run()
     return time.time() - t0, n_rows, runner

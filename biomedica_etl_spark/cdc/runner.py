@@ -363,6 +363,15 @@ class CdcRunner:
     def _maybe_compact(self) -> None:
         """Fold at-threshold buckets: inline (blocking the apply loop) by
         default, or on the maintenance thread when ``async_compact``."""
+        if self.async_compact and self._maint_future is not None \
+                and self._maint_future.done():
+            self._maint_future.result()  # surface maintenance failures here
+            self._maint_future = None
+            # a fold landed through the maintenance handle: refresh the
+            # apply loop's view so threshold checks see the dropped layers
+            # (otherwise every subsequent commit re-submits redundant
+            # folds for buckets that are already clean)
+            self.table.refresh()
         if self.table.max_delta_layers() < self.compact_every:
             return
         buckets = self._buckets_at_threshold()
@@ -377,9 +386,7 @@ class CdcRunner:
             self.compactions_run += 1
             return
         if self._maint_future is not None:
-            if not self._maint_future.done():
-                return  # one maintenance job at a time; catch up next commit
-            self._maint_future.result()  # surface maintenance failures here
+            return  # one maintenance job at a time; catch up next commit
         if self._maint_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -404,10 +411,25 @@ class CdcRunner:
         self.compactions_run += 1
 
     def drain_maintenance(self) -> None:
-        """Block until the in-flight async compaction (if any) lands."""
-        if self._maint_future is not None:
-            self._maint_future.result()
-            self._maint_future = None
+        """Block until the in-flight async compaction (if any) lands, then
+        fold any buckets still at threshold (layers that accrued while the
+        last fold was in flight) so the end state honors the bounded-layer
+        invariant the threshold promises."""
+        if self._maint_future is None:
+            return
+        self._maint_future.result()
+        self._maint_future = None
+        self.table.refresh()
+        buckets = (self._buckets_at_threshold()
+                   if self.table.max_delta_layers() >= self.compact_every
+                   else [])
+        if buckets:
+            self._retry_commit(lambda: compact(
+                self.spark, self.table,
+                shuffle_salts=self.shuffle_salts,
+                max_records_per_file=self.max_records_per_file,
+                buckets=buckets))
+            self.compactions_run += 1
 
     def _buckets_at_threshold(self) -> list[int]:
         """Partial-compaction target set: only buckets whose layer count

@@ -36,14 +36,22 @@ _FAIR_POOLS_XML = """<?xml version="1.0"?>
     <weight>2</weight>
     <minShare>0</minShare>
   </pool>
-</allocations>
+{stage_pools}</allocations>
 """
+
+# the pipelined runner names its per-slot pools "stage-<k % depth>";
+# declare enough slots for any sane pipeline depth at ingest weight
+_STAGE_POOLS = "".join(
+    f"  <pool name=\"stage-{k}\">\n"
+    f"    <schedulingMode>FIFO</schedulingMode>\n"
+    f"    <weight>2</weight>\n    <minShare>0</minShare>\n  </pool>\n"
+    for k in range(8))
 
 
 def _fair_pools_file() -> str:
     f = tempfile.NamedTemporaryFile(
         "w", suffix="-fairscheduler.xml", delete=False)
-    f.write(_FAIR_POOLS_XML)
+    f.write(_FAIR_POOLS_XML.format(stage_pools=_STAGE_POOLS))
     f.close()
     return f.name
 
