@@ -42,6 +42,12 @@ def test_async_compact_matches_oracle(spark, tmp_path):
     assert runner.compactions_run >= 1
     snaps = runner.table.snapshots()
     assert any(s["summary"].get("commit_type") == "compact" for s in snaps)
+    # drain_maintenance's final fold enforces the bounded-layer invariant
+    assert runner.table.max_delta_layers() < 3
+    # the post-fold refresh keeps the apply loop's threshold view current:
+    # 10 batches at threshold 3 can never legitimately need more folds
+    # than batches (a stale view would re-submit for already-clean buckets)
+    assert runner.compactions_run <= 10
 
 
 def test_async_compact_pipelined_matches_oracle(spark, tmp_path):
