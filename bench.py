@@ -401,7 +401,9 @@ Method notes (all applied identically at both core counts):
   constant costs at both sizes.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BASELINE.md accumulates hand-annotated phase history across rounds;
+    # point SPARK_GRAFT_SCALING_MD elsewhere to measure without clobbering it.
+    with open(os.environ.get("SPARK_GRAFT_SCALING_MD", "BENCH/BASELINE.md"), "w") as f:
         f.write(md)
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({
