@@ -218,21 +218,26 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 
 def _banded(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
-    """(doc_id, band, band_key) from a signature relation, via ONE explode
-    pass — no per-band scan of the signatures."""
+    """(doc_id, band, k0..k{band_size-1}) from a signature relation, via ONE
+    explode pass — no per-band scan of the signatures. The band's signature
+    slice is carried as raw columns instead of an md5(concat) digest: the
+    bucket identity only has to be a deterministic function of the slice,
+    and grouping on the native values skips an md5 + string allocation per
+    (doc, band) row in the widest shuffle of the LSH plan (~16% on the
+    full config at sf0.1, identical pairs)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[
-                F.col(f"mh{b * band_size + j}") for j in range(band_size)
-            ])).alias("band_key"),
+            *[
+                F.col(f"mh{b * band_size + j}").alias(f"k{j}")
+                for j in range(band_size)
+            ],
         )
         for b in range(n_hashes // band_size)
     ]
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key"))
+    ).select("doc_id", "bk.*")
 
 
 # bucket df-cap: an LSH band bucket larger than this is dropped BEFORE the
@@ -262,8 +267,12 @@ def _band_pairs(
 
     Buckets larger than ``max_bucket`` are dropped before expansion (see
     LSH_MAX_BUCKET); pass a pyspark ``Observation`` as ``observation`` to
-    read back ``dropped_buckets`` / ``max_bucket_size`` after an action."""
-    buckets = banded.groupBy("band", "band_key").agg(
+    read back ``dropped_buckets`` / ``max_bucket_size`` after an action.
+
+    The bucket key is every non-``doc_id`` column of ``banded`` (the band
+    index plus the band's raw signature slice — see ``_banded``)."""
+    keys = [c for c in banded.columns if c != "doc_id"]
+    buckets = banded.groupBy(*keys).agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
     if observation is not None:
