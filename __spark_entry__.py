@@ -130,6 +130,8 @@ _PRIORITY_ORDER = (
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
     "minhash_lsh_capped",
+    "tar_extract_roundtrip",
+    "positional_zip_join",
     # never driver-checked through round 3 (rotated out by the 50-row cap)
     "simhash_16",
     "cosine_topk",

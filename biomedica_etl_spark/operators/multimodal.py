@@ -320,7 +320,99 @@ ORDER BY query_id, rank
 """
 
 
+# --- tar archive codec (SURVEY S5) -------------------------------------------
+#
+# The reference unpacks downloaded .tar.gz media archives and walks their
+# members (src/pmc_oa/download.py:169-181 unzip_file; :229-267 delete_files).
+# The engine treats an archive exactly like any other opaque media payload: a
+# binary column whose CODEC runs inside the Arrow batch. tarfile is stdlib, so
+# unlike the image codecs this kernel is REAL, which also lets the query prove
+# the round-trip: pack documents into in-memory .tar.gz shards, extract the
+# members back, and hash the payloads — the oracle hashes the source rows
+# directly, so any byte lost or duplicated by the archive path fails the row.
+# The member walk is a loop over tar entries INSIDE the batch — inherent to
+# the format, same class as a frame loop in a video codec kernel.
+
+_TAR_BUILD_SCHEMA = "archive_id bigint, tar binary"
+_TAR_EXTRACT_SCHEMA = "doc_id bigint, payload binary"
+_TAR_GROUPS = 64
+
+
+def _build_tar_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one group -> one .tar.gz blob (members in
+    doc_id order, zeroed metadata so the archive depends only on content)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    rows = sorted(zip(pdf["doc_id"], pdf["text"]))
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for doc_id, text in rows:
+            data = str(text).encode("utf-8")
+            info = tarfile.TarInfo(name=f"{int(doc_id)}.txt")
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return pd.DataFrame(
+        {"archive_id": [int(pdf["archive_id"].iloc[0])], "tar": [buf.getvalue()]}
+    )
+
+
+def _extract_tar_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: archives in, one row per member out. Payload
+    bytes never leave the executor's Arrow batch."""
+    import io
+    import tarfile
+
+    for pdf in batches:
+        ids: list[int] = []
+        payloads: list[bytes] = []
+        for blob in pdf["tar"]:
+            with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:gz") as tf:
+                for m in tf.getmembers():
+                    ids.append(int(m.name.removesuffix(".txt")))
+                    payloads.append(tf.extractfile(m).read())
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def tar_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pack into 64 .tar.gz shards -> extract members ->
+    (doc_id, payload_md5, payload_bytes). Scale: shard assignment is a pure
+    hash of the key (pmod), each archive is one group on one task, and the
+    extract is a streaming batch codec — nothing global, nothing pairwise.
+    Archive sizing at 100 TB is the same target-bytes discipline as the
+    sink's shard rotation (cdc/merge.py), not a fixed group count."""
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("archive_id", F.pmod(F.col("doc_id"), F.lit(_TAR_GROUPS)))
+    )
+    archives = docs.groupBy("archive_id").applyInPandas(
+        lambda pdf: _build_tar_group(pdf), _TAR_BUILD_SCHEMA
+    )
+    members = archives.mapInPandas(_extract_tar_members, _TAR_EXTRACT_SCHEMA)
+    return members.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("payload_bytes"),
+    ).orderBy("doc_id")
+
+
+# the oracle hashes the SOURCE rows: equality proves the archive round-trip
+# preserved every document's exact bytes, once each
+TAR_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       md5(text) AS payload_md5,
+       CAST(strlen(text) AS BIGINT) AS payload_bytes
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "tar_extract_roundtrip": (tar_extract_roundtrip, TAR_ROUNDTRIP_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),

@@ -927,7 +927,83 @@ FROM rem GROUP BY user_id, event_type ORDER BY user_id, event_type
 """
 
 
+# --- positional zip join (SURVEY J8) ------------------------------------------
+
+
+def _positional_index(df: DataFrame, key: str) -> DataFrame:
+    """Global 1-based position of each row under ORDER BY ``key``, without an
+    unpartitioned window: (1) deterministic contiguous range id
+    ``pid = floor((key - min)/width)`` — a pure function of the key, monotone
+    in the sort order; (2) per-range counts, exclusive cumsum driver-side
+    (O(ranges)); (3) broadcast offsets + ``row_number`` partitioned by pid.
+    Same two-pass discipline as ``token_budget_shards``
+    (operators/sampling.py) — nothing global ever lands on one task."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    lo = int(bounds["lo"] or 0)
+    span = int(bounds["hi"] or 0) - lo + 1
+    width = max((span + n_parts - 1) // n_parts, 1)
+    ranged = df.withColumn(
+        "pid", F.floor((F.col(key) - lo) / width).cast("int"))
+    totals = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in totals:
+        offsets.append((pid, running))
+        running += int(n)
+    offsets_df = spark.createDataFrame(offsets, "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy(key)
+    return (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .withColumn("pos", F.row_number().over(w) + F.col("offset"))
+        .drop("pid", "offset")
+    )
+
+
+def positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Align two keyless relations by POSITION — the reference zips feature
+    batches with key batches relying on identical iteration order
+    (scripts/Labeler/03_get_label_dict.py:56-59). Distributed twin: each
+    side gets a scale-safe global position (prefix-sum ``_positional_index``,
+    never ``monotonically_increasing_id``/``zipWithIndex``, whose values
+    depend on partitioning), then an equi-join on position. Here documents
+    (by doc_id) zip with embeddings (by vec_id) — same row counts, as the
+    reference's batch lists must be."""
+    docs = _positional_index(
+        tbl(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    vecs = _positional_index(
+        tbl(spark, sf_dir, "embeddings").select("vec_id"), "vec_id")
+    return (
+        docs.join(vecs, "pos")
+        .select("pos", "doc_id", "vec_id")
+        .orderBy("pos")
+    )
+
+
+POSITIONAL_ZIP_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos
+  FROM documents
+),
+b AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS pos
+  FROM embeddings
+)
+SELECT pos, a.doc_id, b.vec_id
+FROM a JOIN b USING (pos)
+ORDER BY pos
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "positional_zip_join": (positional_zip_join, POSITIONAL_ZIP_SQL),
     "lww_latest_event_per_user": (lww_latest_event_per_user, LWW_LATEST_SQL),
     "lww_via_window": (lww_via_window, LWW_LATEST_SQL),
     "dedup_first_seen": (dedup_first_seen, DEDUP_FIRST_SEEN_SQL),
