@@ -83,3 +83,28 @@ def test_publish_pins_snapshot_and_reads_back(spark, tmp_path):
 
     # no partial-manifest window: the tmp file never survives
     assert not glob.glob(os.path.join(dest, "MANIFEST.json.tmp"))
+
+
+def test_incremental_publish_mor_only_new_deltas(spark, tmp_path):
+    """MOR layout makes publication naturally incremental: base + existing
+    delta files keep their paths across commits, so a re-publish after more
+    ingest copies ONLY the new delta files — the sync semantics of the
+    reference's repeated upload_large_folder runs."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, GeneratorConfig(
+        n_events=4_000, batch_size=1_000, n_convs=40, zipf_a=1.2))
+    runner = CdcRunner(spark, log, str(tmp_path / "table"), n_buckets=4,
+                       mode="mor", compact_every=1_000_000)
+    runner.run(max_batches=2)
+    dest = str(tmp_path / "pub")
+    first = {r["path"] for r in
+             publish_snapshot(spark, runner.table, dest).collect()}
+
+    runner.run()  # remaining batches land as NEW delta layers
+    second = {r["path"]: r["action"]
+              for r in publish_snapshot(spark, runner.table, dest).collect()}
+    assert set(second) > first  # inventory grew
+    for path, action in second.items():
+        assert action == ("skipped" if path in first else "published"), path
+    # manifest always describes the latest publish in full
+    assert read_manifest(dest)["file_count"] == len(second)
