@@ -95,6 +95,12 @@ HEADLINE = [
     "token_budget_shards",
     "ann_ivf_trained",
     "dup_span_profile",
+    # round-4 additions (each a new operator this round; timed honestly)
+    "minhash_lsh_capped",
+    "embedding_near_dup_bucketed",
+    "xml_caption_extract",
+    "positional_zip_join",
+    "tar_extract_roundtrip",
 ]
 
 
