@@ -188,3 +188,23 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_near_dup_bucketed_scores_as_cogrouped_blocks(spark):
+    """The bucketed near-dup re-score must plan as a cogrouped Arrow UDF
+    over cell-pair blocks (FlatMapCoGroupsInPandas), never as a row-per-pair
+    equi-join that materializes both vectors per candidate pair — the block
+    kernel is what bounds per-task memory and CPU at scale. Both fan-out
+    sides must reach the UDF through broadcast joins of the surviving-pair
+    list (no shuffled join on the fan), and the exact threshold decision
+    must stay JVM-side (Filter on the rounded cosine AFTER the UDF)."""
+    from biomedica_etl_spark.operators.similarity import (
+        embedding_near_dup_bucketed,
+    )
+
+    df = embedding_near_dup_bucketed(spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "round(cosine" in plan, plan
