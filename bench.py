@@ -407,10 +407,28 @@ Method notes (all applied identically at both core counts):
   constant costs at both sizes.
 """
     os.makedirs("BENCH", exist_ok=True)
-    # BASELINE.md accumulates hand-annotated phase history across rounds;
-    # point SPARK_GRAFT_SCALING_MD elsewhere to measure without clobbering it.
-    with open(os.environ.get("SPARK_GRAFT_SCALING_MD", "BENCH/BASELINE.md"), "w") as f:
-        f.write(md)
+    # BASELINE.md accumulates hand-annotated phase history across rounds, so
+    # never clobber an existing file: APPEND a dated phase section instead
+    # (the full report `md` is only written when the file doesn't exist yet).
+    # Point SPARK_GRAFT_SCALING_MD elsewhere to measure without touching it.
+    target = os.environ.get("SPARK_GRAFT_SCALING_MD", "BENCH/BASELINE.md")
+    if os.path.exists(target):
+        phase_md = f"""
+
+## Appended phase (interleaved best-of-{SCALING_REPEATS}, same protocol as above)
+
+- local[{lo}] best {results[lo]["sec"]} s ({results[lo]["events_per_sec"]:,.0f} ev/s) vs
+  local[{hi}] best {results[hi]["sec"]} s ({results[hi]["events_per_sec"]:,.0f} ev/s)
+  -> speedup **{speedup:.2f}x**, **raw efficiency {efficiency:.2f}**,
+  normalized {norm_eff:.2f} (inline hw ceiling {hw_speedup:.2f}x).
+- local[{lo}] attempts (sec/steal): {results[lo]["attempts"]}
+- local[{hi}] attempts: {results[hi]["attempts"]}
+"""
+        with open(target, "a") as f:
+            f.write(phase_md)
+    else:
+        with open(target, "w") as f:
+            f.write(md)
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({
         "metric": "cdc_scaling_efficiency", "value": round(norm_eff, 3),
