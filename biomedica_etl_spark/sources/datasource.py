@@ -125,6 +125,18 @@ def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
                                 preserve_index=False)
 
 
+def _root_of(options: dict) -> str:
+    """Table root from data source options. ``root`` is the documented
+    option; ``path`` is accepted as an alias so the source also works
+    through the standard surfaces that spell it that way —
+    ``load("/table/root")`` and SQL DDL
+    (``CREATE TABLE t USING cowtable OPTIONS (path '...')``)."""
+    root = options.get("root") or options.get("path")
+    if not root:
+        raise ValueError("cowtable sources need a 'root' (or 'path') option")
+    return root
+
+
 class _BucketFiles(InputPartition):
     def __init__(self, bucket: int, files: list[str]) -> None:
         self.bucket = bucket
@@ -162,7 +174,7 @@ class CowTableDataSource(DataSource):
 
 class CowTableReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.root = options["root"]
+        self.root = _root_of(options)
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap is not None else None
         self.tombstones = options.get("tombstones", "false").lower() == "true"
@@ -363,7 +375,7 @@ class CowTableWriter(DataSourceArrowWriter):
     fencing so a re-run of the same logical batch is a structural no-op."""
 
     def __init__(self, options: dict) -> None:
-        self.root = options["root"]
+        self.root = _root_of(options)
         self.n_buckets = int(options.get("n_buckets", 16))
         bid = options.get("batch_id")
         self.batch_id = int(bid) if bid is not None else None
@@ -406,7 +418,7 @@ class CowTableStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict) -> None:
         from ..cdc.xxhash import xxh64
 
-        self.root = options["root"]
+        self.root = _root_of(options)
         self.n_buckets = int(options.get("n_buckets", 16))
         ckpt = options.get("checkpointlocation") or options.get(
             "checkpointLocation")
@@ -470,7 +482,7 @@ class ChangesStreamReader(DataSourceStreamReader):
     so no row ever crosses a Python loop."""
 
     def __init__(self, options: dict) -> None:
-        self.root = options["root"]
+        self.root = _root_of(options)
         self._start = options.get("start_snapshot_id")
         cap = options.get("max_rows_per_batch")
         self.max_rows = int(cap) if cap is not None else None

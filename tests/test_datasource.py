@@ -33,6 +33,8 @@ def test_batch_cowtable_source_matches_oracle(spark, tmp_path):
 
     df = spark.read.format("cowtable").option("root", table.root).load()
     assert _rows(df) == replay(log)
+    # the standard reader spelling — load(path) — resolves to the same root
+    assert _rows(spark.read.format("cowtable").load(table.root)) == replay(log)
     # one planned partition per bucket -> full scan parallelism without
     # any shuffle (buckets are disjoint key spaces)
     assert df.rdd.getNumPartitions() == 8
