@@ -600,6 +600,75 @@ def compact(
     return None  # unreachable
 
 
+def compact_layers(
+    spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
+    min_layers: int = 2, max_records_per_file: int = 0,
+    buckets: list[int] | None = None,
+) -> dict[str, Any] | None:
+    """MINOR compaction: fold a bucket's delta layers into ONE merged
+    layer; the base is never read or rewritten. Iceberg's
+    ``rewrite_position_delete_files`` / LSM minor-compaction discipline.
+
+    Cost is O(delta rows in the chosen buckets), independent of base
+    size — THE maintenance lever at the 100 TB design point, where the
+    base dwarfs any day's deltas by orders of magnitude: routine folds
+    keep per-bucket layer counts (read amplification) bounded for the
+    price of the deltas alone, and the O(table) base fold (``compact``)
+    runs rarely, if ever.
+
+    Correctness: readers resolve base ∪ layers by max-``_lsn`` per key
+    (``CowTable.read_raw``), so replacing the folded layers with their
+    per-key max-lsn winners changes no resolution — the within-layers
+    winner is exactly the row that would have beaten the base (or lost
+    to a newer layer). Tombstones are RETAINED in the merged layer: the
+    base still holds the pre-image, and an out-of-order lower-lsn event
+    must still lose to the folded delete. Same single-shuffle aligned
+    salted LWW plan as ingest and major compaction.
+
+    Safe to run CONCURRENT with ingest (``commit_layer_rewrite`` pops
+    only the layers this fold read; interleaved appends stay live; a
+    lost commit race retries metadata only)."""
+    snap = table.current_snapshot()
+    if not snap or not snap.get("delta_dirs"):
+        return None
+    eligible = sorted(
+        int(b) for b, ds in snap["delta_dirs"].items() if len(ds) >= min_layers
+    )
+    if buckets is not None:
+        eligible = sorted(set(eligible) & set(buckets))
+    if not eligible:
+        return None
+    folded = {b: list(snap["delta_dirs"][str(b)]) for b in eligible}
+    # pin the fold's read set to the planned snapshot (same rule as compact)
+    layers = table.read_delta_layer_files(spark, buckets=eligible,
+                                          snapshot_id=snap["snapshot_id"])
+    as_events = _base_as_changes(layers, table.n_buckets)
+    resolved = _to_stored(
+        lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
+                           shuffle_salts=shuffle_salts)
+    )
+    stage = table.new_data_dir()
+    _stage_writer(resolved, max_records_per_file).parquet(stage)
+    rewritten = _written_dirs(stage)
+    for b in eligible:
+        if b not in rewritten:
+            empty = os.path.join(stage, f"{BUCKET_COL}={b}")
+            os.makedirs(empty, exist_ok=True)
+            rewritten[b] = empty
+    for attempt in range(4):
+        try:
+            return table.commit_layer_rewrite(
+                rewritten, folded,
+                {"commit_type": "compact-layers",
+                 "buckets_rewritten": len(rewritten)},
+            )
+        except ConcurrentCommitError:
+            if attempt == 3:
+                raise
+            table.refresh()
+    return None  # unreachable
+
+
 def rewrite_small_files(
     spark: SparkSession, table: CowTable,
     target_file_bytes: int = 128 << 20, min_files: int = 2,

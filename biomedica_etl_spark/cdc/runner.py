@@ -30,6 +30,7 @@ from .checkpoint import pending_batches, planned_batches
 from .lineage import append_lineage
 from .merge import (
     compact,
+    compact_layers,
     merge_batch,
     mor_apply_batch,
     mor_commit_staged,
@@ -109,6 +110,7 @@ class CdcRunner:
         audit: Any = None,
         commit_retries: int = 3,
         async_compact: bool = False,
+        compact_mode: str = "major",
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -169,6 +171,21 @@ class CdcRunner:
         # This is the lakehouse steady-state shape: ingest never stops for
         # maintenance; maintenance consumes capacity ingest leaves idle.
         self.async_compact = async_compact
+        # threshold-fold strategy: 'major' folds layers INTO THE BASE
+        # (O(bucket) rewrite — read-optimized end state), 'minor' folds
+        # layers into ONE merged layer and never touches the base
+        # (O(delta) — the 100 TB steady-state choice, where the base
+        # dwarfs the deltas; run `compact` explicitly when a full fold is
+        # wanted). Both honor the bounded-layer invariant: after a fold
+        # the bucket is at 1 layer (minor) or 0 (major).
+        if compact_mode not in ("major", "minor"):
+            raise ValueError(
+                f"compact_mode must be 'major' or 'minor', got {compact_mode!r}")
+        if compact_mode == "minor" and compact_every < 2:
+            # a minor fold leaves ONE merged layer, so a bucket can never
+            # get below 1 — a threshold of 1 would re-fold forever
+            raise ValueError("compact_mode='minor' requires compact_every >= 2")
+        self.compact_mode = compact_mode
         self._maint_pool: Any = None
         self._maint_future: Any = None
         self._maint_table: CowTable | None = None
@@ -360,6 +377,21 @@ class CdcRunner:
             while window:
                 _commit_head(window)
 
+    def _run_fold(self, table: CowTable, buckets: list[int]) -> None:
+        """One threshold fold under the configured strategy. ``compact``
+        folds into the base (O(bucket rows)); ``compact_layers`` merges
+        the layers only (O(delta rows)) — base bytes never read."""
+        if self.compact_mode == "minor":
+            compact_layers(self.spark, table,
+                           shuffle_salts=self.shuffle_salts,
+                           max_records_per_file=self.max_records_per_file,
+                           buckets=buckets)
+        else:
+            compact(self.spark, table,
+                    shuffle_salts=self.shuffle_salts,
+                    max_records_per_file=self.max_records_per_file,
+                    buckets=buckets)
+
     def _maybe_compact(self) -> None:
         """Fold at-threshold buckets: inline (blocking the apply loop) by
         default, or on the maintenance thread when ``async_compact``."""
@@ -378,11 +410,7 @@ class CdcRunner:
         if not buckets:
             return
         if not self.async_compact:
-            self._retry_commit(lambda: compact(
-                self.spark, self.table,
-                shuffle_salts=self.shuffle_salts,
-                max_records_per_file=self.max_records_per_file,
-                buckets=buckets))
+            self._retry_commit(lambda: self._run_fold(self.table, buckets))
             self.compactions_run += 1
             return
         if self._maint_future is not None:
@@ -404,10 +432,7 @@ class CdcRunner:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "maintenance")
         self._maint_table.refresh()
-        compact(self.spark, self._maint_table,
-                shuffle_salts=self.shuffle_salts,
-                max_records_per_file=self.max_records_per_file,
-                buckets=buckets)
+        self._run_fold(self._maint_table, buckets)
         self.compactions_run += 1
 
     def drain_maintenance(self) -> None:
@@ -424,11 +449,7 @@ class CdcRunner:
                    if self.table.max_delta_layers() >= self.compact_every
                    else [])
         if buckets:
-            self._retry_commit(lambda: compact(
-                self.spark, self.table,
-                shuffle_salts=self.shuffle_salts,
-                max_records_per_file=self.max_records_per_file,
-                buckets=buckets))
+            self._retry_commit(lambda: self._run_fold(self.table, buckets))
             self.compactions_run += 1
 
     def _buckets_at_threshold(self) -> list[int]:

@@ -436,6 +436,58 @@ class CowTable:
         self._write_snapshot(snap)
         return snap
 
+    def read_delta_layer_files(
+        self, spark: SparkSession, buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """UNRESOLVED delta-layer rows ONLY (no base files). The read half
+        of minor compaction (``merge.compact_layers``): folding layers
+        into one layer per bucket must never pay to scan the base — at the
+        100 TB design point the base dwarfs the deltas by orders of
+        magnitude and an O(table) read would make routine maintenance cost
+        what a full rewrite costs."""
+        snap = self._resolve_snapshot(snapshot_id)
+        delta_files = self._delta_files_for(snap, buckets) if snap else []
+        if not delta_files:
+            return spark.createDataFrame([], stored_schema())
+        return spark.read.schema(stored_schema()).parquet(*delta_files)
+
+    def commit_layer_rewrite(
+        self,
+        new_layers: dict[int, str],
+        folded: dict[int, list[str]],
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Publish a MINOR compaction: per bucket, the consumed layer dirs
+        in ``folded`` are replaced by the single merged layer in
+        ``new_layers``; ``bucket_dirs`` (the base) is untouched. Same
+        concurrent-with-ingest contract as ``commit_compaction``: only the
+        layers the fold actually read are popped, so a layer an
+        interleaved apply appended between the fold's read and this commit
+        stays live, and retries after ``ConcurrentCommitError`` are
+        metadata-only (the staged fold output remains valid against any
+        newer parent — appenders only ever add layers)."""
+        parent = self.current_snapshot()
+        assert parent is not None, "create() first"
+        delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
+        for b, d in new_layers.items():
+            consumed = set(folded.get(b, []) or folded.get(str(b), []))
+            remaining = [x for x in delta_dirs.get(str(b), []) if x not in consumed]
+            delta_dirs[str(b)] = [os.path.relpath(d, self.root)] + remaining
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": None,
+            "lsn_lo": parent["lsn_lo"],
+            "lsn_hi": parent["lsn_hi"],
+            "n_buckets": parent["n_buckets"],
+            "bucket_dirs": dict(parent["bucket_dirs"]),
+            "delta_dirs": delta_dirs,
+            "summary": summary or {},
+        }
+        self._write_snapshot(snap)
+        return snap
+
     def commit_delta(
         self,
         batch_id: int,

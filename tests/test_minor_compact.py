@@ -1,0 +1,185 @@
+"""Minor compaction: fold delta layers into ONE merged layer, base
+untouched — O(delta) maintenance, independent of base size.
+
+At the 100 TB design point the base dwarfs any day's deltas by orders of
+magnitude, so the O(table) base fold (``compact``) cannot be the routine
+bound on read amplification. ``compact_layers`` is the LSM/Iceberg
+minor-compaction discipline: per-key max-lsn winner WITHIN the layers,
+tombstones retained (the base still holds the pre-image), readers'
+base ∪ layers max-``_lsn`` resolution unchanged.
+
+Reference analogue: the reference re-shards outputs without rereading
+inputs (``scripts/06_serilaize_to_webdataset_parallel.py:214-219``);
+here the same never-touch-cold-bytes rule applied to table maintenance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+from biomedica_etl_spark.cdc.merge import compact, compact_layers, mor_apply_batch
+from biomedica_etl_spark.cdc.runner import CdcRunner, read_batch
+from biomedica_etl_spark.cdc.schema import SchemaRegistry, target_change_schema
+from biomedica_etl_spark.cdc.table import CowTable
+
+from tests.conftest import run_and_compare
+
+CFG = GeneratorConfig(
+    n_events=6_000, batch_size=600, n_convs=80, duplicate_frac=0.03,
+    out_of_order=True, absent_key_frac=0.05, zipf_a=1.2,
+)
+
+TS = dt.datetime(2025, 1, 1)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, target_change_schema())
+
+
+def test_minor_compact_matches_oracle(spark, tmp_path):
+    """End-to-end with threshold folds in minor mode: final state equals
+    the row-by-row oracle and the bounded-layer invariant holds."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner, _ = run_and_compare(
+        spark, log, str(tmp_path / "t"), mode="mor", compact_every=3,
+        compact_mode="minor",
+    )
+    assert runner.compactions_run >= 1
+    snaps = runner.table.snapshots()
+    assert any(s["summary"].get("commit_type") == "compact-layers"
+               for s in snaps)
+    assert not any(s["summary"].get("commit_type") == "compact"
+                   for s in snaps)
+    assert runner.table.max_delta_layers() < 3
+
+
+def test_minor_compact_async_matches_oracle(spark, tmp_path):
+    """Minor mode composes with async maintenance + pipelined applies."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner, _ = run_and_compare(
+        spark, log, str(tmp_path / "t"), mode="mor", compact_every=3,
+        compact_mode="minor", async_compact=True, pipeline_depth=2,
+    )
+    assert runner.compactions_run >= 1
+    assert runner.table.max_delta_layers() < 3
+
+
+def test_minor_compact_never_touches_base(spark, tmp_path):
+    """The O(delta) claim, pinned on metadata: a compact_layers commit
+    leaves every base dir byte-for-byte identical (same relpaths, same
+    files), folds the layers to one, and changes no read result."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    root = str(tmp_path / "t")
+    runner = CdcRunner(spark, log, root, n_buckets=8, mode="mor",
+                       compact_every=10**9)
+    runner.run(max_batches=4)
+    compact(spark, runner.table)  # establish a base
+    runner.run()  # remaining batches accrue as layers on that base
+    table = runner.table
+    before = table.current_snapshot()
+    assert before.get("delta_dirs"), "precondition: layers exist"
+    base_before = dict(before["bucket_dirs"])
+    rows_before = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.read(spark).collect()
+    )
+
+    snap = compact_layers(spark, table)
+    assert snap is not None
+    assert snap["summary"]["commit_type"] == "compact-layers"
+    # base untouched: identical dir map — no base byte was rewritten
+    assert snap["bucket_dirs"] == base_before
+    # folded buckets are down to exactly one merged layer
+    for b, ds in snap["delta_dirs"].items():
+        assert len(ds) == 1, (b, ds)
+    rows_after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.read(spark).collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_minor_compact_retains_tombstones(spark, tmp_path):
+    """A folded delete must keep beating both the base pre-image and any
+    out-of-order lower-lsn event that arrives AFTER the fold."""
+    root = str(tmp_path / "t")
+    table = CowTable(root, n_buckets=4)
+    table.create()
+    b0 = _changes(spark, [
+        (1, "I", "c1", 0, "user", "keep", None, TS),
+        (2, "I", "c2", 0, "user", "doomed", None, TS),
+    ])
+    mor_apply_batch(spark, table, b0, batch_id=0)
+    compact(spark, table)  # both rows now live in the BASE
+    # two layers: the delete and an unrelated update -> fold eligible
+    mor_apply_batch(spark, table, _changes(
+        spark, [(9, "D", "c2", 0, None, None, None, TS)]), batch_id=1)
+    mor_apply_batch(spark, table, _changes(
+        spark, [(10, "U", "c1", 0, "user", "keep2", None, TS)]), batch_id=2)
+    snap = compact_layers(spark, table, min_layers=1)
+    assert snap is not None
+    live = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in table.read(spark).collect()}
+    assert live == {("c1", 0): "keep2"}  # delete survived the fold
+    # late out-of-order event with lsn BELOW the folded delete still loses
+    mor_apply_batch(spark, table, _changes(
+        spark, [(5, "U", "c2", 0, "user", "zombie", None, TS)]), batch_id=3)
+    live = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in table.read(spark).collect()}
+    assert live == {("c1", 0): "keep2"}
+
+
+def test_minor_compact_preserves_interleaved_layer(spark, tmp_path):
+    """A layer committed between the fold's plan and its commit survives:
+    the retry is metadata-only and pops only the planned layers."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    root = str(tmp_path / "t")
+    runner = CdcRunner(spark, log, root, n_buckets=8, mode="mor",
+                       compact_every=10**9)
+    runner.run(max_batches=3)
+    table = runner.table  # this handle plans the fold against snapshot N
+    planned = table.current_snapshot()
+    planned_layers = {b: set(ds) for b, ds in planned["delta_dirs"].items()}
+
+    # interleaved apply through a SECOND handle (another writer)
+    other = CowTable(root)
+    ch = read_batch(spark, log, 3, 0, SchemaRegistry())
+    mor_apply_batch(spark, other, ch, batch_id=3)
+    interleaved = {
+        b: set(ds) - planned_layers.get(b, set())
+        for b, ds in other.current_snapshot()["delta_dirs"].items()
+    }
+    assert any(interleaved.values()), "precondition: a new layer landed"
+
+    snap = compact_layers(spark, table)  # loses the CAS race, retries
+    assert snap is not None
+    after = {b: set(ds) for b, ds in snap["delta_dirs"].items()}
+    for b, new in interleaved.items():
+        assert new <= after.get(b, set()), f"interleaved layer lost in {b}"
+    # planned layers are gone (folded) — exactly-once for the fold itself
+    for b, old in planned_layers.items():
+        assert not (old & after.get(b, set())), f"folded layer kept in {b}"
+    # the merged end state still equals applying batches 0..3 directly
+    expect = CdcRunner(spark, log, str(tmp_path / "ref"), n_buckets=8,
+                       mode="mor", compact_every=10**9)
+    expect.run(max_batches=4)
+    got = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                 for r in table.read(spark).collect())
+    want = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                  for r in expect.table.read(spark).collect())
+    assert got == want
+
+
+def test_minor_mode_rejects_threshold_one(spark, tmp_path):
+    """compact_every=1 can never converge in minor mode (a fold leaves one
+    layer, which is again at threshold): fail fast at construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="minor"):
+        CdcRunner(spark, str(tmp_path / "log"), str(tmp_path / "t"),
+                  mode="mor", compact_every=1, compact_mode="minor")
