@@ -136,7 +136,7 @@ def _bench_log_dir(events: int, batches: int) -> str:
 def run_cdc_apply(
     spark, workdir: str, events: int = CDC_EVENTS, batches: int = CDC_BATCHES,
     compact_every: int = COMPACT_EVERY, pipeline_depth: int | None = None,
-    async_compact: bool = False,
+    async_compact: bool = False, compact_mode: str = "major",
 ) -> tuple[float, int, "object"]:
     """Apply the full bench log; returns (seconds, events applied, runner)."""
     from biomedica_etl_spark.cdc.runner import CdcRunner
@@ -151,7 +151,7 @@ def run_cdc_apply(
                        mode=CDC_MODE, compact_every=compact_every,
                        shuffle_salts=SHUFFLE_SALTS, async_lineage=True,
                        pipeline_depth=depth if CDC_MODE == "mor" else 1,
-                       async_compact=async_compact)
+                       async_compact=async_compact, compact_mode=compact_mode)
     t0 = time.time()
     runner.run()
     return time.time() - t0, n_rows, runner
@@ -182,11 +182,38 @@ def run_cdc_section(spark, workdir: str) -> dict:
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
               f"steal={steal_pct:.1f}%", file=sys.stderr)
+    # steady-state ingest WITH maintenance in the loop: threshold folds run
+    # as MINOR compactions (O(delta), base never read) on the async
+    # maintenance thread, concurrent with the pipelined applies — the
+    # lakehouse shape where ingest never stops for maintenance. Reported as
+    # its own sustained metric; best-of-2 (each run already amortizes the
+    # folds over the whole log, so two attempts bound host noise enough).
+    sustained = []
+    for i in range(2):
+        s0 = _steal_ticks()
+        t0 = time.time()
+        # compact_every=2 so folds actually land MID-RUN and overlap the
+        # remaining batches' applies (at the default 4 batches a threshold
+        # of 4 would fold only at drain — serialized, not steady-state)
+        sec, _, _ = run_cdc_apply(
+            spark, os.path.join(workdir, f"s{i}"),
+            compact_every=2, async_compact=True,
+            compact_mode="minor",
+        )
+        steal_pct = (_steal_ticks() - s0) / max(
+            (time.time() - t0) * 100 * HOST_CPUS, 1) * 100
+        sustained.append({"total_sec": round(sec, 3),
+                          "steal_pct": round(steal_pct, 1)})
+        shutil.rmtree(os.path.join(workdir, f"s{i}"), ignore_errors=True)
+        print(f"cdc sustained {i}: total={sec:.1f}s steal={steal_pct:.1f}%",
+              file=sys.stderr)
     return {
         "events": cdc_events,
         "apply_sec": min(a["apply_sec"] for a in attempts),
         "compact_sec": min(a["compact_sec"] for a in attempts),
         "attempts": attempts,
+        "sustained_sec": min(a["total_sec"] for a in sustained),
+        "sustained_attempts": sustained,
     }
 
 
@@ -252,7 +279,14 @@ def main() -> None:
                 "cdc_events_per_sec_incl_compact": round(
                     cdc_events / (cdc_sec + compact_sec), 1
                 ),
+                # ingest with maintenance INSIDE the loop (async minor
+                # folds concurrent with pipelined applies) — the
+                # steady-state number a lakehouse actually sustains
+                "cdc_events_per_sec_sustained": round(
+                    cdc_events / cdc["sustained_sec"], 1
+                ),
                 "cdc_attempts": cdc["attempts"],
+                "cdc_sustained_attempts": cdc["sustained_attempts"],
                 "cdc_pipeline_depth": CDC_PIPELINE,
                 "cpus": CPUS,
                 "cdc_cpus": CDC_CPUS,

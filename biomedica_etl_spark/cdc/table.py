@@ -74,6 +74,21 @@ def _expand_ranges(ranges: list[list[int]]) -> set[int]:
     return {i for lo, hi in ranges for i in range(lo, hi + 1)}
 
 
+def _is_layer_fold(snap: dict, parent_dirs: set, snap_dirs: set) -> bool:
+    """True when a commit that dropped delta dirs is a PROVABLE minor fold
+    (``commit_layer_rewrite``): the removed dirs are exactly the recorded
+    folded set and the added dirs are within the recorded merged set. The
+    change feed serves such commits (the merged layer is LWW-equivalent to
+    the folded ones); anything else that drops layers is a rollback and
+    must raise."""
+    summ = snap.get("summary", {})
+    return (
+        summ.get("commit_type") == "compact-layers"
+        and parent_dirs - snap_dirs == set(summ.get("folded_dirs", []))
+        and snap_dirs - parent_dirs <= set(summ.get("merged_dirs", []))
+    )
+
+
 def bucket_expr(conv_col: str, n_buckets: int):
     """Hidden-partitioning transform: bucket(n, conv_id)."""
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
@@ -470,10 +485,19 @@ class CowTable:
         parent = self.current_snapshot()
         assert parent is not None, "create() first"
         delta_dirs = {b: list(ds) for b, ds in parent.get("delta_dirs", {}).items()}
+        merged_rel: list[str] = []
+        folded_rel: list[str] = []
         for b, d in new_layers.items():
             consumed = set(folded.get(b, []) or folded.get(str(b), []))
             remaining = [x for x in delta_dirs.get(str(b), []) if x not in consumed]
-            delta_dirs[str(b)] = [os.path.relpath(d, self.root)] + remaining
+            rel = os.path.relpath(d, self.root)
+            delta_dirs[str(b)] = [rel] + remaining
+            merged_rel.append(rel)
+            folded_rel.extend(sorted(consumed))
+        # recorded so the change feed can prove this commit is an
+        # LWW-equivalent fold (serve merged_dirs) and not a rollback
+        summary = {**(summary or {}), "merged_dirs": sorted(merged_rel),
+                   "folded_dirs": sorted(folded_rel)}
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
@@ -686,10 +710,23 @@ class CowTable:
         the read is O(changes), never a table diff.
 
         Works across MOR commits (append-delta) and quarantine-only/empty
-        commits (no dirs → no rows). A COW rewrite or compaction between
-        ``snapshot_id`` and now rewrites history in place; those commits
-        cannot be served incrementally and raise — the consumer resyncs
-        from a full scan (the same contract real lakehouses document).
+        commits (no dirs → no rows). A COW rewrite or MAJOR compaction
+        between ``snapshot_id`` and now rewrites history in place; those
+        commits cannot be served incrementally and raise — the consumer
+        resyncs from a full scan (the same contract real lakehouses
+        document).
+
+        A MINOR fold (``compact_layers`` / ``commit_layer_rewrite``) is
+        served, not raised: the merged layer holds exactly the per-key
+        max-lsn winners of the folded layers with tombstones retained, so
+        under this feed's declared contract (apply with the same LWW
+        reducer) it is an equivalent change set — the fold compresses away
+        intermediate versions and may re-deliver winners the consumer
+        already applied, both no-ops under max-lsn resolution. Routine
+        maintenance therefore never breaks CDC-out subscribers (unlike
+        Iceberg/Delta CDF, where compaction forces a resync). A consumer
+        that needs EVERY intermediate version (audit log) must not run
+        minor folds upstream of its checkpoint.
         """
         self._load_all()
         if self.snapshot_by_id(snapshot_id) is None:
@@ -714,10 +751,11 @@ class CowTable:
             snap_dirs = {
                 d for ds in s.get("delta_dirs", {}).values() for d in ds
             }
-            if not parent_dirs <= snap_dirs:
-                # delta layers DISAPPEARED without a base rewrite: a
-                # rollback commit — the feed across it is not a forward
-                # change set either
+            if not parent_dirs <= snap_dirs and not _is_layer_fold(
+                    s, parent_dirs, snap_dirs):
+                # delta layers DISAPPEARED without a base rewrite and not
+                # as a provable minor fold: a rollback commit — the feed
+                # across it is not a forward change set
                 raise ValueError(
                     f"snapshot {s['snapshot_id']} removed delta layers "
                     f"({s.get('summary', {}).get('commit_type', '?')}): "

@@ -67,7 +67,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..cdc.schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
-from ..cdc.table import CowTable, stored_schema
+from ..cdc.table import CowTable, _is_layer_fold, stored_schema
 
 
 def _arrow_schema(with_sys: bool) -> pa.Schema:
@@ -601,7 +601,12 @@ class ChangesStreamReader(DataSourceStreamReader):
                 d for ds in parent.get("delta_dirs", {}).values() for d in ds}
             snap_dirs = {
                 d for ds in s.get("delta_dirs", {}).values() for d in ds}
-            if not parent_dirs <= snap_dirs:
+            if not parent_dirs <= snap_dirs and not _is_layer_fold(
+                    s, parent_dirs, snap_dirs):
+                # a provable minor fold (compact_layers) is served — its
+                # merged layer is the folded layers' per-key max-lsn
+                # winners, an equivalent change set under this feed's LWW
+                # contract; anything else that drops layers is a rollback
                 raise ValueError(
                     f"snapshot {sid} removed delta layers "
                     f"({s.get('summary', {}).get('commit_type', '?')}): "

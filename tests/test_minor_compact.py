@@ -183,3 +183,134 @@ def test_minor_mode_rejects_threshold_one(spark, tmp_path):
     with pytest.raises(ValueError, match="minor"):
         CdcRunner(spark, str(tmp_path / "log"), str(tmp_path / "t"),
                   mode="mor", compact_every=1, compact_mode="minor")
+
+
+def test_change_feed_survives_minor_fold(spark, tmp_path):
+    """CDC-out across a minor fold: the feed serves the merged layer
+    (an LWW-equivalent change set — winners only, tombstones retained)
+    instead of forcing a resync, and downstream replay from snapshot K
+    still reproduces the final state even though the fold consumed
+    layers from BEFORE K (re-delivered winners are no-ops under max-lsn
+    resolution). Major compaction still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.generator import SCENARIOS
+    from biomedica_etl_spark.cdc.schema import SYS_DELETED, SYS_LSN
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    up = CdcRunner(spark, log, str(tmp_path / "up"), n_buckets=8, mode="mor",
+                   compact_every=10**9)
+    up.run(max_batches=2)
+    mid = up.table.current_snapshot()["snapshot_id"]
+    up.run()  # the rest of the log accrues as more layers
+    snap = compact_layers(spark, up.table)  # folds layers from before AND after mid
+    assert snap is not None
+
+    def as_changes(stored):
+        return stored.select(
+            F.col(SYS_LSN).alias("lsn"),
+            F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "D")
+            .otherwise("I").alias("op"),
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        )
+
+    down = CowTable(str(tmp_path / "down"), n_buckets=8)
+    down.create()
+    mor_apply_batch(spark, down,
+                    as_changes(up.table.read_raw(spark, snapshot_id=mid)),
+                    batch_id=0)
+    feed = up.table.read_changes_since(spark, mid)  # must NOT raise
+    assert feed.count() > 0
+    mor_apply_batch(spark, down, as_changes(feed), batch_id=1)
+    a = [r.asDict() for r in
+         up.table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    b = [r.asDict() for r in
+         down.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert a == b
+    # major compaction still rewrites history in place -> refuse + resync
+    compact(spark, up.table)
+    with pytest.raises(ValueError, match="resync"):
+        up.table.read_changes_since(spark, mid)
+
+
+def test_feed_still_refuses_rollback_shaped_commit(spark, tmp_path):
+    """The fold exemption is PROVABLE, not pattern-matched: a commit that
+    drops layers without the recorded merged/folded evidence (a rollback)
+    still raises."""
+    import pytest
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor", compact_every=10**9)
+    runner.run(max_batches=3)
+    table = runner.table
+    genesis = table.snapshots()[0]["snapshot_id"]
+    parent = table.current_snapshot()
+    # forge a rollback: drop every delta layer, no fold evidence
+    table._write_snapshot({
+        "snapshot_id": parent["snapshot_id"] + 1,
+        "parent_id": parent["snapshot_id"],
+        "batch_id": None,
+        "lsn_lo": parent["lsn_lo"],
+        "lsn_hi": parent["lsn_hi"],
+        "n_buckets": parent["n_buckets"],
+        "bucket_dirs": dict(parent["bucket_dirs"]),
+        "delta_dirs": {},
+        "summary": {"commit_type": "rollback"},
+    })
+    with pytest.raises(ValueError, match="removed delta layers"):
+        table.read_changes_since(spark, genesis)
+
+
+def test_stream_replication_across_minor_folds(spark, tmp_path):
+    """The native cowtable_changes -> cowtable replication chain stays
+    alive when the upstream runner folds layers mid-run (compact_mode=
+    'minor'): downstream resolved state equals upstream, tombstones
+    included — maintenance never breaks CDC-out subscribers."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.generator import SCENARIOS
+    from biomedica_etl_spark.cdc.oracle import replay
+    from biomedica_etl_spark.sources.datasource import register_data_sources
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "up"), n_buckets=8,
+                       mode="mor", compact_every=3, compact_mode="minor")
+    runner.run()
+    assert runner.compactions_run >= 1, "precondition: folds happened"
+    up = runner.table
+    register_data_sources(spark)
+
+    down_root = str(tmp_path / "down")
+    changes = (
+        spark.readStream.format("cowtable_changes")
+        .option("root", up.root)
+        .option("start_snapshot_id", up.snapshots()[0]["snapshot_id"])
+        .load()
+        .select(
+            "conv_id", "turn_idx",
+            F.when(F.col("_deleted"), "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+            "role", "text", "tool", "ts",
+        )
+    )
+    q = (changes.writeStream.format("cowtable")
+         .option("root", down_root).option("n_buckets", 4)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    down = CowTable(down_root)
+    got = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                 for r in down.read(spark).collect())
+    want = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                  for r in up.read(spark).collect())
+    assert got == want
+    assert want == sorted((e["conv_id"], e["turn_idx"], e["text"])
+                          for e in replay(log))
