@@ -102,6 +102,11 @@ def async_overlap_main() -> None:
     - ``async``: same threshold, ``async_compact=True`` — folds run on
       the maintenance thread DURING ingest, wall includes the final
       drain, and the end state carries the same bounded-layer invariant.
+    - ``async-minor``: async maintenance with ``compact_mode='minor'`` —
+      threshold folds merge the layers only (O(delta), base never read).
+      This is the steady-state shape at the 10^10 design point, where
+      the base dwarfs the deltas and an O(bucket) major fold per
+      threshold crossing would dominate maintenance cost.
 
     The log is cut into enough micro-batches (ASYNC_BATCHES, default 16)
     that folds amortize across the run instead of landing once at the
@@ -120,7 +125,7 @@ def async_overlap_main() -> None:
     threshold = int(os.environ.get("ASYNC_THRESHOLD", "4"))
     best: dict[str, dict] = {}
     for rep in range(reps):
-        for cfg in ("apply", "blocking", "async"):
+        for cfg in ("apply", "blocking", "async", "async-minor"):
             wd = os.path.join(workdir, f"{cfg}{rep}")
             s0 = bench._steal_ticks()
             t0 = time.time()
@@ -128,7 +133,8 @@ def async_overlap_main() -> None:
                 spark, wd, events=EVENTS, batches=batches,
                 compact_every=(1_000_000_000 if cfg == "apply"
                                else threshold),
-                async_compact=(cfg == "async"))
+                async_compact=cfg.startswith("async"),
+                compact_mode=("minor" if cfg == "async-minor" else "major"))
             wall = time.time() - t0
             steal = (bench._steal_ticks() - s0) / max(
                 wall * 100 * bench.HOST_CPUS, 1) * 100
@@ -147,11 +153,14 @@ def async_overlap_main() -> None:
         "events_per_sec"]
     ratio_blocking = best["blocking"]["events_per_sec"] / best["apply"][
         "events_per_sec"]
+    ratio_minor = best["async-minor"]["events_per_sec"] / best["apply"][
+        "events_per_sec"]
     out = {"metric": "sustained_async_overlap", "events": EVENTS,
            "batches": batches, "compact_every": threshold, "cores": CORES,
            "reps": reps, "best": best,
            "async_vs_apply": round(ratio_async, 3),
-           "blocking_vs_apply": round(ratio_blocking, 3)}
+           "blocking_vs_apply": round(ratio_blocking, 3),
+           "async_minor_vs_apply": round(ratio_minor, 3)}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SUSTAINED.md", "a") as f:
         f.write(
@@ -171,7 +180,12 @@ def async_overlap_main() -> None:
                 for c, b in best.items())
             + f"\n- async / apply-only = **{ratio_async:.2f}** "
             f"(bar: >= 0.70); blocking / apply-only = "
-            f"{ratio_blocking:.2f}\n")
+            f"{ratio_blocking:.2f}; async-minor / apply-only = "
+            f"**{ratio_minor:.2f}** (minor folds never read the base — "
+            f"the O(delta) maintenance shape the 10^10 design point "
+            f"needs; note a minor fold leaves 1 merged layer per bucket "
+            f"by design, so layers@end=1 is the invariant, not a "
+            f"shortfall)\n")
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
