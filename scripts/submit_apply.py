@@ -29,6 +29,16 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--mode", choices=["cow", "mor"], default="mor")
     p.add_argument("--compact-every", type=int, default=8)
+    p.add_argument("--compact-mode", choices=["major", "minor"],
+                   default="major",
+                   help="threshold folds rewrite the base (major) or merge "
+                        "layers only, O(delta) (minor)")
+    p.add_argument("--async-compact", action="store_true",
+                   help="run threshold folds on a maintenance thread "
+                        "concurrent with ingest")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="MOR only: overlap up to this many batches' wide "
+                        "jobs; commits stay in batch order")
     p.add_argument("--shuffle-salts", type=int, default=4)
     p.add_argument("--max-batches", type=int, default=None)
     args = p.parse_args()
@@ -46,6 +56,9 @@ def main() -> None:
         n_buckets=args.n_buckets,
         mode=args.mode,
         compact_every=args.compact_every,
+        compact_mode=args.compact_mode,
+        async_compact=args.async_compact,
+        pipeline_depth=args.pipeline_depth,
         shuffle_salts=args.shuffle_salts,
         async_lineage=True,
     )
