@@ -489,6 +489,15 @@ class CowTable:
         folded_rel: list[str] = []
         for b, d in new_layers.items():
             consumed = set(folded.get(b, []) or folded.get(str(b), []))
+            live = set(delta_dirs.get(str(b), []))
+            if consumed and not consumed <= live:
+                # a competing fold (another minor owner, or a major compact
+                # that won the CAS race) already consumed these layers:
+                # publishing the merged layer now would duplicate its rows
+                # (reads stay correct — identical rows, identical lsns —
+                # but the bytes leak). Skip the bucket; the staged merged
+                # dir is unreferenced and falls to remove_orphaned_files.
+                continue
             remaining = [x for x in delta_dirs.get(str(b), []) if x not in consumed]
             rel = os.path.relpath(d, self.root)
             delta_dirs[str(b)] = [rel] + remaining

@@ -314,3 +314,38 @@ def test_stream_replication_across_minor_folds(spark, tmp_path):
     assert got == want
     assert want == sorted((e["conv_id"], e["turn_idx"], e["text"])
                           for e in replay(log))
+
+
+def test_minor_fold_losing_to_major_compact_skips_cleanly(spark, tmp_path):
+    """Double-consumption guard: when a MAJOR compact wins the race and
+    consumes the same layers the minor fold planned, the fold's retry must
+    NOT publish its merged layer (duplicate rows/bytes) — the bucket is
+    skipped, reads are unchanged, and no new delta layer appears."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    root = str(tmp_path / "t")
+    runner = CdcRunner(spark, log, root, n_buckets=8, mode="mor",
+                       compact_every=10**9)
+    runner.run(max_batches=3)
+    table = runner.table  # stale handle: plans the fold against snapshot N
+
+    other = CowTable(root)
+    compact(spark, other)  # major fold consumes ALL layers first
+    rows_before = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in other.read(spark).collect()
+    )
+
+    snap = compact_layers(spark, table)  # loses the CAS race, retries
+    # every planned bucket was already consumed -> metadata-only no-op
+    assert snap is not None
+    assert snap["delta_dirs"] == {}
+    assert snap["summary"]["merged_dirs"] == []
+    rows_after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.read(spark).collect()
+    )
+    assert rows_after == rows_before
+    # the stranded merged dir is orphaned and collected by GC
+    gc = table.remove_orphaned_files(grace_seconds=0.0)
+    assert gc["dirs_removed"] >= 1
