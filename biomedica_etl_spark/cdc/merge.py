@@ -67,7 +67,13 @@ from pyspark.sql import functions as F
 from .lineage import append_lineage
 from .reduce import lww_reduce, lww_reduce_aligned, lww_reduce_salted
 from .schema import CHANGE_COLS, KEY_COLS, PAYLOAD_COLS, SYS_DELETED, SYS_LSN
-from .table import BUCKET_COL, ConcurrentCommitError, CowTable, bucket_expr
+from .table import (
+    BUCKET_COL,
+    ConcurrentCommitError,
+    CowTable,
+    bucket_expr,
+    stored_schema,
+)
 
 def _valid_pred():
     """Event validity: the pre-merge gate (reference quality gate P8 /
@@ -600,10 +606,59 @@ def compact(
     return None  # unreachable
 
 
+def _fold_layers_local(
+    spark: SparkSession, table: CowTable, snap: dict[str, Any],
+    eligible: list[int],
+) -> DataFrame:
+    """Shuffle-free minor-fold read+reduce: ONE task per bucket reads that
+    bucket's layer files and LWW-folds them in Arrow (tombstones and
+    ``_lsn`` retained), emitting stored rows + bucket.
+
+    Layers are already laid out per bucket on disk, so folding them needs
+    NO exchange at all — the same zero-shuffle payoff the native batch
+    source gets from bucketing on ``xxhash64(conv_id)`` (it shares the
+    Arrow fold kernel with ``sources/datasource.py``). The salted-shuffle
+    plan the folds previously rode re-partitioned rows that were already
+    bucket-partitioned; dropping it roughly halves the fold's CPU, which
+    is what lets async maintenance hide under a core-saturated ingest.
+
+    Per-task memory is O(one bucket's delta rows) — bounded at the design
+    point by layer-threshold × per-batch bucket share, the same bound the
+    native batch source already accepts per bucket. For a pathological
+    bucket that outgrows a task, ``compact_layers(plan="shuffle")`` keeps
+    the salt-spread exchange plan (outputs proven identical in tests)."""
+    import json
+
+    from ..sources.datasource import _lww_fold, _read_stored_arrow
+    from pyspark.sql import types as T
+
+    inventory = [
+        (b, json.dumps(table._delta_files_for(snap, [b]))) for b in eligible
+    ]
+    out_schema = T.StructType(
+        list(stored_schema().fields)
+        + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def fold(batches):
+        for pdf in batches:
+            for bucket, files_json in zip(pdf["bucket"], pdf["files"]):
+                tab = _read_stored_arrow(json.loads(files_json))
+                out = _lww_fold(tab, tombstones=True).to_pandas()
+                out[BUCKET_COL] = int(bucket)
+                yield out[names]
+
+    inv_rdd = spark.sparkContext.parallelize(
+        inventory, max(len(inventory), 1))
+    inv = spark.createDataFrame(inv_rdd, "bucket int, files string")
+    return inv.mapInPandas(fold, schema=out_schema)
+
+
 def compact_layers(
     spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
     min_layers: int = 2, max_records_per_file: int = 0,
-    buckets: list[int] | None = None,
+    buckets: list[int] | None = None, plan: str = "local",
 ) -> dict[str, Any] | None:
     """MINOR compaction: fold a bucket's delta layers into ONE merged
     layer; the base is never read or rewritten. Iceberg's
@@ -627,7 +682,13 @@ def compact_layers(
 
     Safe to run CONCURRENT with ingest (``commit_layer_rewrite`` pops
     only the layers this fold read; interleaved appends stay live; a
-    lost commit race retries metadata only)."""
+    lost commit race retries metadata only).
+
+    ``plan="local"`` (default) folds each bucket in one shuffle-free Arrow
+    task (``_fold_layers_local``); ``plan="shuffle"`` keeps the salted
+    exchange plan for buckets whose delta outgrows a single task."""
+    if plan not in ("local", "shuffle"):
+        raise ValueError(f"plan must be 'local' or 'shuffle', got {plan!r}")
     snap = table.current_snapshot()
     if not snap or not snap.get("delta_dirs"):
         return None
@@ -639,14 +700,19 @@ def compact_layers(
     if not eligible:
         return None
     folded = {b: list(snap["delta_dirs"][str(b)]) for b in eligible}
-    # pin the fold's read set to the planned snapshot (same rule as compact)
-    layers = table.read_delta_layer_files(spark, buckets=eligible,
-                                          snapshot_id=snap["snapshot_id"])
-    as_events = _base_as_changes(layers, table.n_buckets)
-    resolved = _to_stored(
-        lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
-                           shuffle_salts=shuffle_salts)
-    )
+    if plan == "local":
+        # read set pinned via the snapshot's per-bucket file inventory
+        resolved = _fold_layers_local(spark, table, snap, eligible)
+    else:
+        # pin the fold's read set to the planned snapshot (same rule as
+        # compact)
+        layers = table.read_delta_layer_files(spark, buckets=eligible,
+                                              snapshot_id=snap["snapshot_id"])
+        as_events = _base_as_changes(layers, table.n_buckets)
+        resolved = _to_stored(
+            lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
+                               shuffle_salts=shuffle_salts)
+        )
     stage = table.new_data_dir()
     _stage_writer(resolved, max_records_per_file).parquet(stage)
     rewritten = _written_dirs(stage)

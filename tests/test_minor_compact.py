@@ -349,3 +349,64 @@ def test_minor_fold_losing_to_major_compact_skips_cleanly(spark, tmp_path):
     # the stranded merged dir is orphaned and collected by GC
     gc = table.remove_orphaned_files(grace_seconds=0.0)
     assert gc["dirs_removed"] >= 1
+
+
+def test_minor_fold_local_plan_shuffle_free_and_matches_shuffle_plan(
+        spark, tmp_path):
+    """The default ``plan='local'`` fold runs ZERO exchanges — layers are
+    already laid out per bucket on disk, so re-shuffling rows that are
+    already bucket-partitioned is pure waste — and its committed state is
+    row-identical (payload + ``_lsn`` + tombstones) to the salted
+    ``plan='shuffle'`` exchange plan's on the same starting table."""
+    import shutil
+
+    from biomedica_etl_spark.cdc.merge import _fold_layers_local
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    root_a = str(tmp_path / "a")
+    runner = CdcRunner(spark, log, root_a, n_buckets=8, mode="mor",
+                       compact_every=10**9)
+    runner.run(max_batches=4)
+    compact(spark, runner.table)  # establish a base under the layers
+    runner.run()
+    root_b = str(tmp_path / "b")
+    shutil.copytree(root_a, root_b)
+    table_a, table_b = runner.table, CowTable(root_b)
+
+    # plan pin: the local fold DataFrame contains no Exchange at all
+    snap = table_a.current_snapshot()
+    eligible = sorted(
+        int(b) for b, ds in snap["delta_dirs"].items() if len(ds) >= 2)
+    assert eligible, "precondition: foldable buckets exist"
+    df = _fold_layers_local(spark, table_a, snap, eligible)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    sa = compact_layers(spark, table_a, plan="local")
+    sb = compact_layers(spark, table_b, plan="shuffle")
+    assert sa is not None and sb is not None
+
+    def stored_rows(table):
+        df = table.read_delta_layer_files(spark)
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"], r["_lsn"],
+             bool(r["_deleted"]) if r["_deleted"] is not None else False)
+            for r in df.collect()
+        )
+
+    assert stored_rows(table_a) == stored_rows(table_b)
+    live = lambda t: sorted(  # noqa: E731
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.read(spark).collect()
+    )
+    assert live(table_a) == live(table_b)
+
+
+def test_compact_layers_rejects_unknown_plan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = CowTable(root, n_buckets=4)
+    table.create()
+    import pytest
+    with pytest.raises(ValueError, match="plan"):
+        compact_layers(spark, table, plan="bogus")
