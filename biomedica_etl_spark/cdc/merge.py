@@ -609,6 +609,7 @@ def compact(
 def _fold_layers_local(
     spark: SparkSession, table: CowTable, snap: dict[str, Any],
     eligible: list[int],
+    files_by_bucket: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """Shuffle-free minor-fold read+reduce: ONE task per bucket reads that
     bucket's layer files and LWW-folds them in Arrow (tombstones and
@@ -625,40 +626,50 @@ def _fold_layers_local(
     Per-task memory is O(one bucket's delta rows) — bounded at the design
     point by layer-threshold × per-batch bucket share, the same bound the
     native batch source already accepts per bucket. For a pathological
-    bucket that outgrows a task, ``compact_layers(plan="shuffle")`` keeps
-    the salt-spread exchange plan (outputs proven identical in tests)."""
+    bucket that outgrows a task, ``compact_layers``'s default
+    ``plan="auto"`` routes that bucket to the salt-spread exchange plan
+    by its planned byte size (outputs proven identical in tests)."""
     import json
 
     from ..sources.datasource import _lww_fold, _read_stored_arrow
     from pyspark.sql import types as T
 
+    if files_by_bucket is None:
+        files_by_bucket = {b: table._delta_files_for(snap, [b])
+                           for b in eligible}
     inventory = [
-        (b, json.dumps(table._delta_files_for(snap, [b]))) for b in eligible
+        (b, json.dumps(files_by_bucket[b])) for b in eligible
     ]
     out_schema = T.StructType(
         list(stored_schema().fields)
         + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
     )
-    names = [f.name for f in out_schema.fields]
 
     def fold(batches):
-        for pdf in batches:
-            for bucket, files_json in zip(pdf["bucket"], pdf["files"]):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for bucket, files_json in zip(d["bucket"], d["files"]):
                 tab = _read_stored_arrow(json.loads(files_json))
-                out = _lww_fold(tab, tombstones=True).to_pandas()
-                out[BUCKET_COL] = int(bucket)
-                yield out[names]
+                out = _lww_fold(tab, tombstones=True)
+                out = out.append_column(
+                    BUCKET_COL,
+                    pa.array(np.full(out.num_rows, bucket, np.int32)))
+                yield from out.to_batches()
 
     inv_rdd = spark.sparkContext.parallelize(
         inventory, max(len(inventory), 1))
     inv = spark.createDataFrame(inv_rdd, "bucket int, files string")
-    return inv.mapInPandas(fold, schema=out_schema)
+    return inv.mapInArrow(fold, schema=out_schema)
 
 
 def compact_layers(
     spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
     min_layers: int = 2, max_records_per_file: int = 0,
-    buckets: list[int] | None = None, plan: str = "local",
+    buckets: list[int] | None = None, plan: str = "auto",
+    local_max_bytes: int = 256 << 20,
 ) -> dict[str, Any] | None:
     """MINOR compaction: fold a bucket's delta layers into ONE merged
     layer; the base is never read or rewritten. Iceberg's
@@ -684,11 +695,20 @@ def compact_layers(
     only the layers this fold read; interleaved appends stay live; a
     lost commit race retries metadata only).
 
-    ``plan="local"`` (default) folds each bucket in one shuffle-free Arrow
-    task (``_fold_layers_local``); ``plan="shuffle"`` keeps the salted
-    exchange plan for buckets whose delta outgrows a single task."""
-    if plan not in ("local", "shuffle"):
-        raise ValueError(f"plan must be 'local' or 'shuffle', got {plan!r}")
+    ``plan="local"`` folds each bucket in one shuffle-free Arrow task
+    (``_fold_layers_local``); ``plan="shuffle"`` keeps the salted exchange
+    plan for buckets whose delta outgrows a single task; ``plan="auto"``
+    (default) routes each bucket by its planned delta BYTES — at most
+    ``local_max_bytes`` per task goes local, anything bigger takes the
+    exchange plan — so the shuffle-free fast path never becomes a
+    single-task OOM on a pathological bucket. Sizing uses the planned
+    snapshot's own file inventory (``os.path.getsize`` here; a manifest-
+    recorded size column on an object store), so routing costs no data
+    read. The two plans' outputs are proven byte-identical in tests and
+    union into one stage write when a fold mixes them."""
+    if plan not in ("auto", "local", "shuffle"):
+        raise ValueError(
+            f"plan must be 'auto', 'local' or 'shuffle', got {plan!r}")
     snap = table.current_snapshot()
     if not snap or not snap.get("delta_dirs"):
         return None
@@ -700,19 +720,31 @@ def compact_layers(
     if not eligible:
         return None
     folded = {b: list(snap["delta_dirs"][str(b)]) for b in eligible}
+    # read set pinned via the planned snapshot's per-bucket file inventory
+    files_by_bucket = {b: table._delta_files_for(snap, [b]) for b in eligible}
     if plan == "local":
-        # read set pinned via the snapshot's per-bucket file inventory
-        resolved = _fold_layers_local(spark, table, snap, eligible)
+        local_b, shuffle_b = eligible, []
+    elif plan == "shuffle":
+        local_b, shuffle_b = [], eligible
     else:
-        # pin the fold's read set to the planned snapshot (same rule as
-        # compact)
-        layers = table.read_delta_layer_files(spark, buckets=eligible,
+        local_b = [b for b in eligible
+                   if sum(os.path.getsize(f) for f in files_by_bucket[b])
+                   <= local_max_bytes]
+        shuffle_b = sorted(set(eligible) - set(local_b))
+    parts: list[DataFrame] = []
+    if local_b:
+        parts.append(
+            _fold_layers_local(spark, table, snap, local_b, files_by_bucket))
+    if shuffle_b:
+        layers = table.read_delta_layer_files(spark, buckets=shuffle_b,
                                               snapshot_id=snap["snapshot_id"])
         as_events = _base_as_changes(layers, table.n_buckets)
-        resolved = _to_stored(
+        parts.append(_to_stored(
             lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
                                shuffle_salts=shuffle_salts)
-        )
+        ))
+    resolved = parts[0] if len(parts) == 1 else \
+        parts[0].unionByName(parts[1])
     stage = table.new_data_dir()
     _stage_writer(resolved, max_records_per_file).parquet(stage)
     rewritten = _written_dirs(stage)

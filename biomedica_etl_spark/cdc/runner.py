@@ -111,6 +111,7 @@ class CdcRunner:
         commit_retries: int = 3,
         async_compact: bool = False,
         compact_mode: str = "major",
+        fold_plan: str = "auto",
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -186,6 +187,14 @@ class CdcRunner:
             # get below 1 — a threshold of 1 would re-fold forever
             raise ValueError("compact_mode='minor' requires compact_every >= 2")
         self.compact_mode = compact_mode
+        # minor-fold physical plan: 'auto' (byte-routed local/shuffle),
+        # 'local', or 'shuffle' — see merge.compact_layers. Validated here
+        # so a typo fails at construction, not on the maintenance thread.
+        if fold_plan not in ("auto", "local", "shuffle"):
+            raise ValueError(
+                f"fold_plan must be 'auto', 'local' or 'shuffle', "
+                f"got {fold_plan!r}")
+        self.fold_plan = fold_plan
         self._maint_pool: Any = None
         self._maint_future: Any = None
         self._maint_table: CowTable | None = None
@@ -385,7 +394,7 @@ class CdcRunner:
             compact_layers(self.spark, table,
                            shuffle_salts=self.shuffle_salts,
                            max_records_per_file=self.max_records_per_file,
-                           buckets=buckets)
+                           buckets=buckets, plan=self.fold_plan)
         else:
             compact(self.spark, table,
                     shuffle_salts=self.shuffle_salts,

@@ -28,7 +28,7 @@ including one that knows nothing about this package — reads it with plain
 Scale notes: planning is manifest-driven and O(commits in range) on the
 driver; the batch reader, the change-feed stream reader, and both writers
 all move data as Arrow record batches with zero Python row loops (the LWW
-fold is vectorized pandas/pyarrow — §2.9 discipline), and the batch
+fold is pure Arrow compute — §2.9 discipline), and the batch
 source parallelizes across all buckets. The change feed additionally
 takes ``max_rows_per_batch`` to split a backfill-sized delta burst across
 micro-batches (offsets carry an intra-snapshot file position), so a
@@ -110,19 +110,44 @@ def _read_stored_arrow(files: list[str]) -> pa.Table:
 def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
     """Vectorized per-bucket LWW resolve: newest ``_lsn`` wins per
     (conv_id, turn_idx); tombstones dropped unless requested. Bucket-local
-    — disjoint key spaces make this embarrassingly parallel."""
-    df = stored.to_pandas()
-    if len(df):
-        df = (df.sort_values(SYS_LSN, kind="stable")
-                .groupby(["conv_id", "turn_idx"], as_index=False, sort=True)
-                .tail(1)
-                .sort_values(["conv_id", "turn_idx"], kind="stable"))
+    — disjoint key spaces make this embarrassingly parallel.
+
+    Pure Arrow (sort + group-boundary filter in C++ kernels): the earlier
+    pandas form spent most of its time converting payload strings to
+    object dtype and back, which made minor folds cost more than the
+    shuffle they avoided. Duplicate (key, lsn) rows are exact duplicates
+    by the at-least-once delivery contract, so tie order is value-free —
+    same arbitrariness the JVM ``max_by`` reduce has."""
+    import pyarrow.compute as pc
+
+    if stored.num_rows:
+        tab = stored.sort_by([("conv_id", "ascending"),
+                              ("turn_idx", "ascending"),
+                              (SYS_LSN, "ascending")])
+        n = tab.num_rows
+        conv = tab["conv_id"].combine_chunks()
+        turn = tab["turn_idx"].combine_chunks()
+        # row i wins iff it is the last row of its (conv_id, turn_idx) run
+        # (fill_null(True): keys are non-null by the quarantine gate; a
+        # pathological null key is kept, never silently dropped)
+        boundary = pc.fill_null(pc.or_(
+            pc.not_equal(conv.slice(0, n - 1), conv.slice(1)),
+            pc.not_equal(turn.slice(0, n - 1), turn.slice(1)),
+        ), True)
+        chunks = (list(boundary.chunks)
+                  if isinstance(boundary, pa.ChunkedArray) else [boundary])
+        mask = pa.chunked_array(chunks + [pa.array([True])],
+                                type=pa.bool_())
+        tab = tab.filter(mask)
         if not tombstones:
-            df = df[~df[SYS_DELETED].fillna(False)]
+            live = pc.invert(pc.fill_null(tab[SYS_DELETED], False))
+            tab = tab.filter(live)
+    else:
+        tab = stored
     if not tombstones:
-        df = df.drop(columns=[SYS_LSN, SYS_DELETED])
-    return pa.Table.from_pandas(df, schema=_arrow_schema(tombstones),
-                                preserve_index=False)
+        tab = tab.drop_columns([SYS_LSN, SYS_DELETED])
+    target = _arrow_schema(tombstones)
+    return tab.select(target.names).cast(target)
 
 
 def _root_of(options: dict) -> str:

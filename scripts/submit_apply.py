@@ -39,6 +39,10 @@ def main() -> None:
     p.add_argument("--pipeline-depth", type=int, default=1,
                    help="MOR only: overlap up to this many batches' wide "
                         "jobs; commits stay in batch order")
+    p.add_argument("--fold-plan", choices=["auto", "local", "shuffle"],
+                   default="auto",
+                   help="minor-fold physical plan: byte-routed auto "
+                        "(default), shuffle-free local, or salted exchange")
     p.add_argument("--shuffle-salts", type=int, default=4)
     p.add_argument("--max-batches", type=int, default=None)
     args = p.parse_args()
@@ -57,6 +61,7 @@ def main() -> None:
         mode=args.mode,
         compact_every=args.compact_every,
         compact_mode=args.compact_mode,
+        fold_plan=args.fold_plan,
         async_compact=args.async_compact,
         pipeline_depth=args.pipeline_depth,
         shuffle_salts=args.shuffle_salts,

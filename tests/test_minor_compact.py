@@ -410,3 +410,47 @@ def test_compact_layers_rejects_unknown_plan(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="plan"):
         compact_layers(spark, table, plan="bogus")
+
+
+def test_minor_fold_auto_plan_routes_by_bytes_and_matches_local(
+        spark, tmp_path):
+    """``plan='auto'`` with a threshold between the smallest and largest
+    bucket's planned delta bytes folds SOME buckets locally and the rest
+    through the exchange plan in one commit — and the committed state is
+    identical to an all-local fold of the same starting table."""
+    import os
+    import shutil
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    root_a = str(tmp_path / "a")
+    runner = CdcRunner(spark, log, root_a, n_buckets=8, mode="mor",
+                       compact_every=10**9)
+    runner.run()
+    root_b = str(tmp_path / "b")
+    shutil.copytree(root_a, root_b)
+    table_a, table_b = runner.table, CowTable(root_b)
+
+    snap = table_a.current_snapshot()
+    sizes = sorted(
+        sum(os.path.getsize(f) for f in table_a._delta_files_for(snap, [int(b)]))
+        for b in snap["delta_dirs"]
+    )
+    assert sizes[0] < sizes[-1], "precondition: buckets differ in size"
+    threshold = (sizes[0] + sizes[-1]) // 2  # mixed routing guaranteed
+
+    sa = compact_layers(spark, table_a, plan="auto",
+                        local_max_bytes=threshold)
+    sb = compact_layers(spark, table_b, plan="local")
+    assert sa is not None and sb is not None
+    for b, ds in sa["delta_dirs"].items():
+        assert len(ds) == 1, (b, ds)
+
+    def stored_rows(table):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"], r["_lsn"],
+             bool(r["_deleted"]) if r["_deleted"] is not None else False)
+            for r in table.read_delta_layer_files(spark).collect()
+        )
+
+    assert stored_rows(table_a) == stored_rows(table_b)
