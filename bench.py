@@ -137,6 +137,7 @@ def run_cdc_apply(
     spark, workdir: str, events: int = CDC_EVENTS, batches: int = CDC_BATCHES,
     compact_every: int = COMPACT_EVERY, pipeline_depth: int | None = None,
     async_compact: bool = False, compact_mode: str = "major",
+    fold_tier_bytes: int = 0,
 ) -> tuple[float, int, "object"]:
     """Apply the full bench log; returns (seconds, events applied, runner)."""
     from biomedica_etl_spark.cdc.runner import CdcRunner
@@ -151,7 +152,8 @@ def run_cdc_apply(
                        mode=CDC_MODE, compact_every=compact_every,
                        shuffle_salts=SHUFFLE_SALTS, async_lineage=True,
                        pipeline_depth=depth if CDC_MODE == "mor" else 1,
-                       async_compact=async_compact, compact_mode=compact_mode)
+                       async_compact=async_compact, compact_mode=compact_mode,
+                       fold_tier_bytes=fold_tier_bytes)
     t0 = time.time()
     runner.run()
     return time.time() - t0, n_rows, runner

@@ -670,6 +670,7 @@ def compact_layers(
     min_layers: int = 2, max_records_per_file: int = 0,
     buckets: list[int] | None = None, plan: str = "auto",
     local_max_bytes: int = 256 << 20,
+    tier_max_bytes: int = 0, tier_collapse_at: int = 0,
 ) -> dict[str, Any] | None:
     """MINOR compaction: fold a bucket's delta layers into ONE merged
     layer; the base is never read or rewritten. Iceberg's
@@ -705,7 +706,25 @@ def compact_layers(
     snapshot's own file inventory (``os.path.getsize`` here; a manifest-
     recorded size column on an object store), so routing costs no data
     read. The two plans' outputs are proven byte-identical in tests and
-    union into one stage write when a fold mixes them."""
+    union into one stage write when a fold mixes them.
+
+    ``tier_max_bytes`` > 0 turns folds TIERED (size-tiered LSM / RocksDB
+    universal-compaction discipline): within each bucket, only layers of
+    at most that many bytes — the fresh tier — are folded, and a merged
+    layer that has outgrown the tier is NEVER re-read by later folds.
+    Leveled folding (the default) re-reads the ever-growing merged layer
+    on every threshold crossing, which on a low-duplicate-collapse stream
+    turns routine maintenance quadratic in ingested rows; tiered folding
+    keeps each row's minor-fold touch count at one for the price of a few
+    extra resident layers (the large tier). Folding a layer SUBSET is
+    LWW-safe: resolution is max-``_lsn`` over base ∪ all layers, which is
+    order- and grouping-independent, and tombstones are retained.
+    ``tier_collapse_at`` > 0 bounds read amplification: a bucket whose
+    TOTAL layer count (large tier included) reaches it gets a full fold
+    of all its layers even when the fresh tier alone is below
+    ``min_layers``. Tier-selected subsets always take the local plan
+    (their size is bounded by construction: layers ≤ tier_max_bytes
+    each); collapse folds route by bytes like any full fold."""
     if plan not in ("auto", "local", "shuffle"):
         raise ValueError(
             f"plan must be 'auto', 'local' or 'shuffle', got {plan!r}")
@@ -719,16 +738,46 @@ def compact_layers(
         eligible = sorted(set(eligible) & set(buckets))
     if not eligible:
         return None
-    folded = {b: list(snap["delta_dirs"][str(b)]) for b in eligible}
+    def _dir_files(d: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(table.root, d, "*.parquet")))
+
     # read set pinned via the planned snapshot's per-bucket file inventory
-    files_by_bucket = {b: table._delta_files_for(snap, [b]) for b in eligible}
+    if tier_max_bytes > 0:
+        folded, files_by_bucket, subset_b = {}, {}, set()
+        for b in eligible:
+            dirs = list(snap["delta_dirs"][str(b)])
+            per_dir = {d: _dir_files(d) for d in dirs}
+            small = [d for d in dirs
+                     if sum(os.path.getsize(f) for f in per_dir[d])
+                     <= tier_max_bytes]
+            if tier_collapse_at > 0 and len(dirs) >= tier_collapse_at:
+                sel = dirs  # full fold: read-amplification bound reached
+            elif len(small) >= min_layers:
+                sel = small
+                subset_b.add(b)
+            else:
+                continue  # only large-tier layers at threshold: leave them
+            folded[b] = sel
+            files_by_bucket[b] = [f for d in sel for f in per_dir[d]]
+        eligible = sorted(folded)
+        if not eligible:
+            return None
+    else:
+        subset_b = set()
+        folded = {b: list(snap["delta_dirs"][str(b)]) for b in eligible}
+        files_by_bucket = {b: table._delta_files_for(snap, [b])
+                           for b in eligible}
     if plan == "local":
         local_b, shuffle_b = eligible, []
     elif plan == "shuffle":
-        local_b, shuffle_b = [], eligible
+        # a tier-selected SUBSET is only expressible by the file-inventory
+        # (local) reader — the exchange plan reads whole buckets
+        local_b = sorted(subset_b)
+        shuffle_b = sorted(set(eligible) - subset_b)
     else:
         local_b = [b for b in eligible
-                   if sum(os.path.getsize(f) for f in files_by_bucket[b])
+                   if b in subset_b
+                   or sum(os.path.getsize(f) for f in files_by_bucket[b])
                    <= local_max_bytes]
         shuffle_b = sorted(set(eligible) - set(local_b))
     parts: list[DataFrame] = []

@@ -112,6 +112,7 @@ class CdcRunner:
         async_compact: bool = False,
         compact_mode: str = "major",
         fold_plan: str = "auto",
+        fold_tier_bytes: int = 0,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -195,6 +196,15 @@ class CdcRunner:
                 f"fold_plan must be 'auto', 'local' or 'shuffle', "
                 f"got {fold_plan!r}")
         self.fold_plan = fold_plan
+        # size-tiered minor folds: >0 folds only layers at most this many
+        # bytes (the fresh tier) so a grown merged layer is never re-read;
+        # total layer count is bounded by the collapse threshold below.
+        # See merge.compact_layers(tier_max_bytes).
+        self.fold_tier_bytes = fold_tier_bytes
+        # read-amplification bound for tiered mode: a bucket whose TOTAL
+        # layer count (large tier included) reaches 3x the fold threshold
+        # gets a full fold even when its fresh tier is quiet
+        self.fold_tier_collapse_at = 3 * compact_every
         self._maint_pool: Any = None
         self._maint_future: Any = None
         self._maint_table: CowTable | None = None
@@ -391,15 +401,19 @@ class CdcRunner:
         folds into the base (O(bucket rows)); ``compact_layers`` merges
         the layers only (O(delta rows)) — base bytes never read."""
         if self.compact_mode == "minor":
-            compact_layers(self.spark, table,
+            return compact_layers(
+                self.spark, table,
+                shuffle_salts=self.shuffle_salts,
+                max_records_per_file=self.max_records_per_file,
+                buckets=buckets, plan=self.fold_plan,
+                tier_max_bytes=self.fold_tier_bytes,
+                tier_collapse_at=(self.fold_tier_collapse_at
+                                  if self.fold_tier_bytes else 0))
+        else:
+            return compact(self.spark, table,
                            shuffle_salts=self.shuffle_salts,
                            max_records_per_file=self.max_records_per_file,
-                           buckets=buckets, plan=self.fold_plan)
-        else:
-            compact(self.spark, table,
-                    shuffle_salts=self.shuffle_salts,
-                    max_records_per_file=self.max_records_per_file,
-                    buckets=buckets)
+                           buckets=buckets)
 
     def _maybe_compact(self) -> None:
         """Fold at-threshold buckets: inline (blocking the apply loop) by
@@ -419,8 +433,9 @@ class CdcRunner:
         if not buckets:
             return
         if not self.async_compact:
-            self._retry_commit(lambda: self._run_fold(self.table, buckets))
-            self.compactions_run += 1
+            if self._retry_commit(
+                    lambda: self._run_fold(self.table, buckets)) is not None:
+                self.compactions_run += 1
             return
         if self._maint_future is not None:
             return  # one maintenance job at a time; catch up next commit
@@ -441,8 +456,8 @@ class CdcRunner:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "maintenance")
         self._maint_table.refresh()
-        self._run_fold(self._maint_table, buckets)
-        self.compactions_run += 1
+        if self._run_fold(self._maint_table, buckets) is not None:
+            self.compactions_run += 1
 
     def drain_maintenance(self) -> None:
         """Block until the in-flight async compaction (if any) lands, then
@@ -458,8 +473,9 @@ class CdcRunner:
                    if self.table.max_delta_layers() >= self.compact_every
                    else [])
         if buckets:
-            self._retry_commit(lambda: self._run_fold(self.table, buckets))
-            self.compactions_run += 1
+            if self._retry_commit(
+                    lambda: self._run_fold(self.table, buckets)) is not None:
+                self.compactions_run += 1
 
     def _buckets_at_threshold(self) -> list[int]:
         """Partial-compaction target set: only buckets whose layer count

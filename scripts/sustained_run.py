@@ -125,7 +125,8 @@ def async_overlap_main() -> None:
     threshold = int(os.environ.get("ASYNC_THRESHOLD", "4"))
     best: dict[str, dict] = {}
     for rep in range(reps):
-        for cfg in ("apply", "blocking", "async", "async-minor"):
+        for cfg in ("apply", "blocking", "async", "async-minor",
+                    "async-tiered"):
             wd = os.path.join(workdir, f"{cfg}{rep}")
             s0 = bench._steal_ticks()
             t0 = time.time()
@@ -134,7 +135,13 @@ def async_overlap_main() -> None:
                 compact_every=(1_000_000_000 if cfg == "apply"
                                else threshold),
                 async_compact=cfg.startswith("async"),
-                compact_mode=("minor" if cfg == "async-minor" else "major"))
+                compact_mode=("minor" if cfg.startswith("async-minor")
+                              or cfg == "async-tiered" else "major"),
+                # fresh tier ~2.5x one bucket-layer dir: merged layers
+                # leave the tier after their first fold (see
+                # merge.compact_layers tier_max_bytes)
+                fold_tier_bytes=(int(2.5 * (EVENTS // batches // 16) * 50)
+                                 if cfg == "async-tiered" else 0))
             wall = time.time() - t0
             steal = (bench._steal_ticks() - s0) / max(
                 wall * 100 * bench.HOST_CPUS, 1) * 100
@@ -155,12 +162,15 @@ def async_overlap_main() -> None:
         "events_per_sec"]
     ratio_minor = best["async-minor"]["events_per_sec"] / best["apply"][
         "events_per_sec"]
+    ratio_tiered = best["async-tiered"]["events_per_sec"] / best["apply"][
+        "events_per_sec"]
     out = {"metric": "sustained_async_overlap", "events": EVENTS,
            "batches": batches, "compact_every": threshold, "cores": CORES,
            "reps": reps, "best": best,
            "async_vs_apply": round(ratio_async, 3),
            "blocking_vs_apply": round(ratio_blocking, 3),
-           "async_minor_vs_apply": round(ratio_minor, 3)}
+           "async_minor_vs_apply": round(ratio_minor, 3),
+           "async_tiered_vs_apply": round(ratio_tiered, 3)}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SUSTAINED.md", "a") as f:
         f.write(
@@ -183,9 +193,13 @@ def async_overlap_main() -> None:
             f"{ratio_blocking:.2f}; async-minor / apply-only = "
             f"**{ratio_minor:.2f}** (minor folds never read the base — "
             f"the O(delta) maintenance shape the 10^10 design point "
-            f"needs; note a minor fold leaves 1 merged layer per bucket "
-            f"by design, so layers@end=1 is the invariant, not a "
-            f"shortfall)\n")
+            f"needs; a minor fold leaves 1 merged layer per bucket by "
+            f"design, so layers@end=1 is the invariant, not a "
+            f"shortfall); async-tiered / apply-only = "
+            f"**{ratio_tiered:.2f}** (size-tiered folds additionally "
+            f"never re-read a grown merged layer — each row is "
+            f"minor-folded at most once; layers@end counts the resident "
+            f"large tier, bounded by tier_collapse_at)\n")
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)

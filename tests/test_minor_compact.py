@@ -454,3 +454,137 @@ def test_minor_fold_auto_plan_routes_by_bytes_and_matches_local(
         )
 
     assert stored_rows(table_a) == stored_rows(table_b)
+
+
+def _layer_bytes(table, d):
+    import glob as _glob
+    import os as _os
+    return sum(_os.path.getsize(f) for f in
+               _glob.glob(_os.path.join(table.root, d, "*.parquet")))
+
+
+def test_tiered_fold_never_rereads_grown_merged_layer(spark, tmp_path):
+    """Size-tiered minor folds: a merged layer that outgrew the fresh tier
+    is excluded from later folds (write amplification stays O(1) per row),
+    read results are unchanged, and a tombstone folded into the large tier
+    still beats a late lower-lsn event."""
+    root = str(tmp_path / "t")
+    table = CowTable(root, n_buckets=1)  # one bucket isolates layer math
+    table.create()
+
+    def batch(i, rows):
+        mor_apply_batch(spark, table, _changes(spark, rows), batch_id=i)
+
+    def blob(tag, j):
+        # high-entropy payload so file size tracks DATA, not parquet
+        # footer overhead (40 tiny rows would drown in the footer)
+        import hashlib
+        return "".join(hashlib.sha256(f"{tag}-{j}-{k}".encode()).hexdigest()
+                       for k in range(10))
+
+    # three fresh layers with DISTINCT keys (no LWW collapse -> the merged
+    # layer is ~3x a fresh one) + a delete that must survive tiering
+    batch(0, [(10 + j, "I", f"a{j}", 0, "user", blob("a", j), None, TS)
+              for j in range(40)])
+    batch(1, [(110 + j, "I", f"b{j}", 0, "user", blob("b", j), None, TS)
+              for j in range(40)])
+    batch(2, [(210, "D", "a0", 0, None, None, None, TS)]
+          + [(211 + j, "I", f"c{j}", 0, "user", blob("c", j), None, TS)
+             for j in range(39)])
+    snap0 = table.current_snapshot()
+    dirs0 = list(snap0["delta_dirs"]["0"])
+    tier = max(_layer_bytes(table, d) for d in dirs0) * 2  # fresh fit, 3x not
+
+    s1 = compact_layers(spark, table, tier_max_bytes=tier, min_layers=2)
+    assert s1 is not None
+    merged1 = s1["summary"]["merged_dirs"]
+    assert len(merged1) == 1
+    assert _layer_bytes(table, merged1[0]) > tier, "merged must outgrow tier"
+
+    # two more fresh layers -> next tiered fold must EXCLUDE merged1
+    batch(3, [(310 + j, "I", f"d{j}", 0, "user", blob("d", j), None, TS)
+              for j in range(40)])
+    batch(4, [(410 + j, "I", f"e{j}", 0, "user", blob("e", j), None, TS)
+              for j in range(40)])
+    s2 = compact_layers(spark, table, tier_max_bytes=tier, min_layers=2)
+    assert s2 is not None
+    assert merged1[0] not in s2["summary"]["folded_dirs"]
+    assert merged1[0] in s2["delta_dirs"]["0"]  # still resident, untouched
+    assert len(s2["delta_dirs"]["0"]) == 2      # [merged2, merged1]
+
+    # reads: 198 live keys (199 inserted, 1 deleted), delete still wins
+    live = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
+    assert len(live) == 198 and ("a0", 0) not in live
+    # late lower-lsn zombie for the tombstoned key still loses
+    batch(5, [(5, "U", "a0", 0, "user", "zombie", None, TS)])
+    live = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
+    assert ("a0", 0) not in live
+
+    # all-large bucket below collapse threshold: fold is a no-op ...
+    assert compact_layers(spark, table, tier_max_bytes=1,
+                          min_layers=2) is None
+    # ... but the collapse bound forces a full fold once total count hits it
+    n_now = len(table.current_snapshot()["delta_dirs"]["0"])
+    s3 = compact_layers(spark, table, tier_max_bytes=1, min_layers=2,
+                        tier_collapse_at=n_now)
+    assert s3 is not None
+    assert len(s3["delta_dirs"]["0"]) == 1
+    live = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
+    assert len(live) == 198 and ("a0", 0) not in live
+
+
+def test_tiered_runner_matches_oracle_and_feed_survives_subset_fold(
+        spark, tmp_path):
+    """End-to-end tiered minor mode equals the replay oracle (inline and
+    async), and the change feed replays correctly across a SUBSET fold —
+    the fold-proof in read_changes_since is selection-agnostic."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.schema import SYS_DELETED, SYS_LSN
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    for i, kw in enumerate((
+            {}, {"async_compact": True, "pipeline_depth": 2})):
+        runner, _ = run_and_compare(
+            spark, log, str(tmp_path / f"t{i}"), mode="mor",
+            compact_every=3, compact_mode="minor",
+            fold_tier_bytes=1 << 20, **kw)
+        assert runner.compactions_run >= 1
+
+    # feed across a subset fold
+    up = CdcRunner(spark, log, str(tmp_path / "up"), n_buckets=8,
+                   mode="mor", compact_every=10**9)
+    up.run(max_batches=2)
+    mid = up.table.current_snapshot()["snapshot_id"]
+    up.run()
+    snap = up.table.current_snapshot()
+    tier = max(_layer_bytes(up.table, d)
+               for ds in snap["delta_dirs"].values() for d in ds) // 2
+    s = compact_layers(spark, up.table, tier_max_bytes=max(tier, 1),
+                       min_layers=2)
+    if s is None:  # tier cut below every layer: widen until a subset folds
+        s = compact_layers(spark, up.table, tier_max_bytes=1 << 20,
+                           min_layers=2)
+    assert s is not None
+
+    def as_changes(stored):
+        return stored.select(
+            F.col(SYS_LSN).alias("lsn"),
+            F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "D")
+            .otherwise("I").alias("op"),
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        )
+
+    down = CowTable(str(tmp_path / "down"), n_buckets=8)
+    down.create()
+    mor_apply_batch(spark, down,
+                    as_changes(up.table.read_raw(spark, snapshot_id=mid)),
+                    batch_id=0)
+    feed = up.table.read_changes_since(spark, mid)
+    mor_apply_batch(spark, down, as_changes(feed), batch_id=1)
+    a = [r.asDict() for r in
+         up.table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    b = [r.asDict() for r in
+         down.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert a == b
