@@ -39,6 +39,10 @@ def main() -> None:
     p.add_argument("--pipeline-depth", type=int, default=1,
                    help="MOR only: overlap up to this many batches' wide "
                         "jobs; commits stay in batch order")
+    p.add_argument("--fold-tier-bytes", type=int, default=0,
+                   help="size-tiered minor folds: fold only layers at "
+                        "most this many bytes so a grown merged layer "
+                        "is never re-read (0 = leveled folding)")
     p.add_argument("--fold-plan", choices=["auto", "local", "shuffle"],
                    default="auto",
                    help="minor-fold physical plan: byte-routed auto "
@@ -62,6 +66,7 @@ def main() -> None:
         compact_every=args.compact_every,
         compact_mode=args.compact_mode,
         fold_plan=args.fold_plan,
+        fold_tier_bytes=args.fold_tier_bytes,
         async_compact=args.async_compact,
         pipeline_depth=args.pipeline_depth,
         shuffle_salts=args.shuffle_salts,

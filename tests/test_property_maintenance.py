@@ -2,8 +2,8 @@
 sequence of maintenance ops between micro-batches.
 
 Hypothesis draws a generator config AND an arbitrary interleaving of
-maintenance operations (minor fold, major fold, bin-pack rewrite, or
-nothing) to run between consecutive batch applies. Whatever the
+maintenance operations (minor fold — local or shuffle plan — size-tiered
+subset fold, major fold, bin-pack rewrite, or nothing) to run between consecutive batch applies. Whatever the
 sequence, the final resolved table must equal the pure-Python replay
 oracle — i.e. maintenance commits are invisible to readers by
 construction, not just in the hand-picked unit scenarios. Examples are
@@ -35,7 +35,8 @@ configs = st.fixed_dictionaries(
 )
 
 OPS = st.lists(
-    st.sampled_from(["none", "minor", "major", "binpack"]),
+    st.sampled_from(["none", "minor", "minor-shuffle", "tiered", "major",
+                     "binpack"]),
     min_size=2, max_size=5,
 )
 
@@ -63,6 +64,14 @@ def test_any_maintenance_interleaving_preserves_state(
         i += 1
         if op == "minor":
             compact_layers(spark, runner.table, min_layers=1)
+        elif op == "minor-shuffle":
+            compact_layers(spark, runner.table, min_layers=1,
+                           plan="shuffle")
+        elif op == "tiered":
+            # tier cut INSIDE the live layer-size range so some folds
+            # select true subsets; collapse bound occasionally triggers
+            compact_layers(spark, runner.table, min_layers=1,
+                           tier_max_bytes=8 << 10, tier_collapse_at=4)
         elif op == "major":
             compact(spark, runner.table)
         elif op == "binpack":
