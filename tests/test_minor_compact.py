@@ -588,3 +588,78 @@ def test_tiered_runner_matches_oracle_and_feed_survives_subset_fold(
     b = [r.asDict() for r in
          down.read(spark).orderBy("conv_id", "turn_idx").collect()]
     assert a == b
+
+
+def test_stream_replication_across_tiered_folds(spark, tmp_path):
+    """Replication chain across SIZE-TIERED folds: subset folds (a grown
+    merged layer excluded from later folds) are served by the feed the
+    same way full folds are — the fold-proof is selection-agnostic — and
+    the downstream table converges to the upstream resolved state,
+    tombstones included."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.sources.datasource import register_data_sources
+
+    root = str(tmp_path / "up")
+    table = CowTable(root, n_buckets=2)
+    table.create()
+
+    def blob(tag, j):
+        return "".join(hashlib.sha256(f"{tag}-{j}-{k}".encode()).hexdigest()
+                       for k in range(10))
+
+    def batch(i, rows):
+        mor_apply_batch(spark, table, _changes(spark, rows), batch_id=i)
+
+    batch(0, [(10 + j, "I", f"a{j}", 0, "user", blob("a", j), None, TS)
+              for j in range(40)])
+    batch(1, [(110 + j, "I", f"b{j}", 0, "user", blob("b", j), None, TS)
+              for j in range(40)])
+    batch(2, [(210, "D", "a0", 0, None, None, None, TS)]
+          + [(211 + j, "I", f"c{j}", 0, "user", blob("c", j), None, TS)
+             for j in range(39)])
+    snap0 = table.current_snapshot()
+    tier = max(_layer_bytes(table, d)
+               for ds in snap0["delta_dirs"].values() for d in ds) * 2
+    s1 = compact_layers(spark, table, tier_max_bytes=tier, min_layers=2)
+    assert s1 is not None
+    batch(3, [(310 + j, "I", f"d{j}", 0, "user", blob("d", j), None, TS)
+              for j in range(40)])
+    batch(4, [(410 + j, "I", f"e{j}", 0, "user", blob("e", j), None, TS)
+              for j in range(40)])
+    s2 = compact_layers(spark, table, tier_max_bytes=tier, min_layers=2)
+    assert s2 is not None
+    # tiering engaged: fold 2 excluded at least one of fold 1's merged dirs
+    assert set(s1["summary"]["merged_dirs"]) -         set(s2["summary"]["folded_dirs"]), "no subset fold happened"
+
+    register_data_sources(spark)
+    down_root = str(tmp_path / "down")
+    changes = (
+        spark.readStream.format("cowtable_changes")
+        .option("root", table.root)
+        .option("start_snapshot_id", table.snapshots()[0]["snapshot_id"])
+        .load()
+        .select(
+            "conv_id", "turn_idx",
+            F.when(F.col("_deleted"), "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+            "role", "text", "tool", "ts",
+        )
+    )
+    q = (changes.writeStream.format("cowtable")
+         .option("root", down_root).option("n_buckets", 4)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    down = CowTable(down_root)
+    got = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                 for r in down.read(spark).collect())
+    want = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                  for r in table.read(spark).collect())
+    assert got == want
+    assert len(want) == 198 and ("a0", 0) not in {(c, t) for c, t, _ in want}
