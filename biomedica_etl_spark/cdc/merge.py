@@ -724,7 +724,10 @@ def compact_layers(
     of all its layers even when the fresh tier alone is below
     ``min_layers``. Tier-selected subsets always take the local plan
     (their size is bounded by construction: layers ≤ tier_max_bytes
-    each); collapse folds route by bytes like any full fold."""
+    each); collapse folds route by bytes like any full fold.
+    ``tier_max_bytes=-1`` self-tunes: the tier is derived from the
+    freshest append's size at each fold (see the inline comment), so
+    callers need no knowledge of their payload's layer sizes."""
     if plan not in ("auto", "local", "shuffle"):
         raise ValueError(
             f"plan must be 'auto', 'local' or 'shuffle', got {plan!r}")
@@ -742,6 +745,23 @@ def compact_layers(
         return sorted(glob.glob(os.path.join(table.root, d, "*.parquet")))
 
     # read set pinned via the planned snapshot's per-bucket file inventory
+    if tier_max_bytes < 0:
+        # AUTO tier: anchor on the freshest append. Per-bucket dir lists
+        # are structurally ordered — commit_delta APPENDS at the tail,
+        # commit_layer_rewrite puts the merged dir at the head — so the
+        # last dir of each eligible bucket is its most recent fresh
+        # layer. tier = 2.5x the largest of those: fresh layers always
+        # fit, and a merged layer leaves the tier exactly when its rows
+        # stopped collapsing (the case where leveled re-folding would go
+        # quadratic). Heavy-collapse tables self-correct to leveled
+        # folding (merged stays under the tier), which is the cheap and
+        # correct behavior there. max (not min) over buckets errs toward
+        # leveled — a perf tradeoff, never a correctness one.
+        tier_max_bytes = int(2.5 * max(
+            sum(os.path.getsize(f)
+                for f in _dir_files(snap["delta_dirs"][str(b)][-1]))
+            for b in eligible
+        )) or 1
     if tier_max_bytes > 0:
         folded, files_by_bucket, subset_b = {}, {}, set()
         for b in eligible:

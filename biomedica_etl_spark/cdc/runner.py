@@ -198,8 +198,9 @@ class CdcRunner:
         self.fold_plan = fold_plan
         # size-tiered minor folds: >0 folds only layers at most this many
         # bytes (the fresh tier) so a grown merged layer is never re-read;
-        # total layer count is bounded by the collapse threshold below.
-        # See merge.compact_layers(tier_max_bytes).
+        # -1 self-tunes the tier from the freshest append's size at each
+        # fold; total layer count is bounded by the collapse threshold
+        # below. See merge.compact_layers(tier_max_bytes).
         self.fold_tier_bytes = fold_tier_bytes
         # read-amplification bound for tiered mode: a bucket whose TOTAL
         # layer count (large tier included) reaches 3x the fold threshold

@@ -42,7 +42,8 @@ def main() -> None:
     p.add_argument("--fold-tier-bytes", type=int, default=0,
                    help="size-tiered minor folds: fold only layers at "
                         "most this many bytes so a grown merged layer "
-                        "is never re-read (0 = leveled folding)")
+                        "is never re-read (0 = leveled folding, "
+                        "-1 = self-tuned tier)")
     p.add_argument("--fold-plan", choices=["auto", "local", "shuffle"],
                    default="auto",
                    help="minor-fold physical plan: byte-routed auto "

@@ -663,3 +663,64 @@ def test_stream_replication_across_tiered_folds(spark, tmp_path):
                   for r in table.read(spark).collect())
     assert got == want
     assert len(want) == 198 and ("a0", 0) not in {(c, t) for c, t, _ in want}
+
+
+def test_auto_tier_engages_on_low_collapse_and_relaxes_on_high(
+        spark, tmp_path):
+    """``tier_max_bytes=-1`` self-tunes from the freshest append: on a
+    low-collapse table the merged layer leaves the derived tier and is
+    never re-read (tiered behavior); on a heavy-collapse table the merged
+    layer stays under the tier and keeps folding (leveled behavior) —
+    which is the cheap, correct regime there. Both read-identical."""
+    import hashlib
+
+    def blob(tag, j):
+        return "".join(hashlib.sha256(f"{tag}-{j}-{k}".encode()).hexdigest()
+                       for k in range(10))
+
+    # --- low collapse: distinct keys every batch -> merged grows ---
+    t1 = CowTable(str(tmp_path / "low"), n_buckets=1)
+    t1.create()
+    for i, tag in enumerate("abc"):
+        mor_apply_batch(spark, t1, _changes(
+            spark, [(100 * i + j, "I", f"{tag}{j}", 0, "user",
+                     blob(tag, j), None, TS) for j in range(40)]),
+            batch_id=i)
+    s1 = compact_layers(spark, t1, tier_max_bytes=-1, min_layers=2)
+    assert s1 is not None
+    merged1 = s1["summary"]["merged_dirs"][0]
+    for i, tag in enumerate("de"):
+        mor_apply_batch(spark, t1, _changes(
+            spark, [(1000 + 100 * i + j, "I", f"{tag}{j}", 0, "user",
+                     blob(tag, j), None, TS) for j in range(40)]),
+            batch_id=3 + i)
+    s2 = compact_layers(spark, t1, tier_max_bytes=-1, min_layers=2)
+    assert s2 is not None
+    assert merged1 not in s2["summary"]["folded_dirs"]  # tiered engaged
+    assert len({(r["conv_id"], r["turn_idx"])
+                for r in t1.read(spark).collect()}) == 200
+
+    # --- heavy collapse: same keys every batch -> merged stays small ---
+    t2 = CowTable(str(tmp_path / "high"), n_buckets=1)
+    t2.create()
+    for i in range(3):
+        mor_apply_batch(spark, t2, _changes(
+            spark, [(100 * i + j, "U" if i else "I", f"k{j}", 0, "user",
+                     blob(f"v{i}", j), None, TS) for j in range(40)]),
+            batch_id=i)
+    s1 = compact_layers(spark, t2, tier_max_bytes=-1, min_layers=2)
+    assert s1 is not None
+    merged1 = s1["summary"]["merged_dirs"][0]
+    for i in range(2):
+        mor_apply_batch(spark, t2, _changes(
+            spark, [(1000 + 100 * i + j, "U", f"k{j}", 0, "user",
+                     blob(f"w{i}", j), None, TS) for j in range(40)]),
+            batch_id=3 + i)
+    s2 = compact_layers(spark, t2, tier_max_bytes=-1, min_layers=2)
+    assert s2 is not None
+    assert merged1 in s2["summary"]["folded_dirs"]  # leveled: re-folded
+    live = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in t2.read(spark).collect()}
+    assert len(live) == 40
+    assert all(v == blob("w1", j) for (c, _), v in live.items()
+               for j in [int(c[1:])])
