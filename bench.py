@@ -201,12 +201,11 @@ def run_cdc_section(spark, workdir: str) -> dict:
             spark, os.path.join(workdir, f"s{i}"),
             compact_every=2, async_compact=True,
             compact_mode="minor",
-            # size-tiered: fresh tier ~2.5x one bucket-layer dir, so a
-            # grown merged layer is never re-read (BENCH/SUSTAINED.md:
-            # tiered beat plain minor in both reps, 0.78 vs 0.65 of the
-            # apply ceiling on the 64M protocol)
-            fold_tier_bytes=int(2.5 * (CDC_EVENTS // CDC_BATCHES
-                                       // N_BUCKETS) * 50),
+            # size-tiered, self-tuned cut: a grown merged layer is never
+            # re-read (BENCH/SUSTAINED.md: tiered beat plain minor in all
+            # four reps, 0.78/0.80 of the apply ceiling on the 64M
+            # protocol)
+            fold_tier_bytes=-1,
         )
         steal_pct = (_steal_ticks() - s0) / max(
             (time.time() - t0) * 100 * HOST_CPUS, 1) * 100

@@ -137,11 +137,9 @@ def async_overlap_main() -> None:
                 async_compact=cfg.startswith("async"),
                 compact_mode=("minor" if cfg.startswith("async-minor")
                               or cfg == "async-tiered" else "major"),
-                # fresh tier ~2.5x one bucket-layer dir: merged layers
-                # leave the tier after their first fold (see
-                # merge.compact_layers tier_max_bytes)
-                fold_tier_bytes=(int(2.5 * (EVENTS // batches // 16) * 50)
-                                 if cfg == "async-tiered" else 0))
+                # self-tuned tier: derived from the freshest append's
+                # size at each fold (merge.compact_layers tier_max_bytes)
+                fold_tier_bytes=(-1 if cfg == "async-tiered" else 0))
             wall = time.time() - t0
             steal = (bench._steal_ticks() - s0) / max(
                 wall * 100 * bench.HOST_CPUS, 1) * 100
