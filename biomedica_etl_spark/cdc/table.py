@@ -180,6 +180,11 @@ class CowTable:
                 try:
                     with open(hint) as f:
                         disk_current = int(f.read().strip())
+                    # the hint is ADVISORY (it lags by one commit when a
+                    # writer crashed between manifest publish and hint
+                    # update) — probe forward to the true current so a
+                    # torn hint can never wedge the CAS permanently
+                    disk_current = self._probe_latest(disk_current)
                 except ValueError:
                     disk_current = parent_id  # corrupt hint: manifest wins below
                 if disk_current != parent_id:
@@ -226,15 +231,32 @@ class CowTable:
         if snaps:
             self._current_cache = snaps[-1]
 
+    def _probe_latest(self, snap_id: int) -> int:
+        """Version-hint recovery rule (Iceberg HadoopTableOperations): the
+        hint file is advisory and lags by exactly one commit if a writer
+        crashed between manifest publish and hint update. Snapshot ids are
+        dense and strictly monotone (every commit — rollback included —
+        appends parent+1), so the true current is found by probing forward
+        until the next id's manifest is missing: O(lag) ``exists`` checks,
+        no directory listing. Found by the crash-point sweep
+        (``tests/test_crash_sweep.py``): without this, the torn-hint state
+        bricked every future commit with a spurious ConcurrentCommitError
+        and cold readers silently served the previous snapshot."""
+        while os.path.exists(self._snap_path(snap_id + 1)):
+            snap_id += 1
+        return snap_id
+
     def current_snapshot(self) -> dict[str, Any] | None:
         if self._current_cache is not None:
             return self._current_cache
         # cold fast path: version hint -> one manifest read, no globbing
+        # (plus the O(lag) torn-hint probe — see _probe_latest)
         hint = self._hint_path()
         if os.path.exists(hint):
             try:
                 with open(hint) as f:
                     snap_id = int(f.read().strip())
+                snap_id = self._probe_latest(snap_id)
                 self._current_cache = self._read_manifest(self._snap_path(snap_id))
                 return self._current_cache
             except (ValueError, FileNotFoundError, json.JSONDecodeError):
