@@ -542,6 +542,13 @@ class CdcRunner:
 
         return read_lineage(self.spark, self.lineage_dir)
 
+    def reconcile_lineage(self) -> dict[str, Any]:
+        """Backfill lineage rows lost to a crash between a snapshot commit
+        and its lineage append — see ``lineage.reconcile_lineage``."""
+        from .lineage import reconcile_lineage
+
+        return reconcile_lineage(self.spark, self.table, self.lineage_dir)
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")
