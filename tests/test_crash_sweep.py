@@ -55,6 +55,12 @@ CONFIGS = {
     # are separate atomic writes, so the sweep enumerates crashes between
     # stage, audit, and publish too (scenario versions in test_wap)
     "cow_wap": dict(mode="cow", audit=lambda spark, table: True),
+    # pipelined staging: wide jobs overlap on pool threads but COMMITS are
+    # strictly ordered on the driver thread, so the k-th atomic write is
+    # still a deterministic program point; a crash mid-pipeline leaves
+    # in-flight staged layers that resume must ignore (no fold commits:
+    # default compact_every is above the batch count)
+    "mor_pipelined": dict(mode="mor", pipeline_depth=2),
 }
 
 
