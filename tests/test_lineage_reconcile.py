@@ -127,6 +127,42 @@ def test_lost_layer_falls_back_to_summary(spark, tmp_path):
     assert _sums(runner)[1] == (s["rows_upserted"], s["rows_deleted"])
 
 
+def test_any_lost_subset_is_restored(spark, tmp_path):
+    """Property-style sweep: for EVERY subset of whole lineage files lost
+    (each file holds one batch's emit here), reconcile restores per-batch
+    aggregate equality with the pre-loss table. Reconcile runs against a
+    throwaway copy of the lineage dir, so one ingest serves all subsets."""
+    import itertools
+    import shutil
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=4,
+                       mode="mor", compact_every=100)
+    runner.run()
+    baseline = _sums(runner)
+    files = sorted(glob.glob(os.path.join(runner.lineage_dir, "*.parquet")))
+    assert len(files) == len(baseline), "one lineage file per batch expected"
+
+    for r in range(1, len(files) + 1):
+        for lost in itertools.combinations(files, r):
+            work = str(tmp_path / "lineage_copy")
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(runner.lineage_dir, work)
+            for p in lost:
+                os.remove(os.path.join(work, os.path.basename(p)))
+            report = reconcile_lineage(spark, runner.table, work)
+            assert len(report["missing"]) == r, (r, report)
+            assert report["repaired_exact"] == sorted(report["missing"])
+            from biomedica_etl_spark.cdc.lineage import read_lineage
+            rows = (read_lineage(spark, work).groupBy("batch_id")
+                    .agg({"rows_upserted": "sum", "rows_deleted": "sum"})
+                    .withColumnRenamed("sum(rows_upserted)", "ups")
+                    .withColumnRenamed("sum(rows_deleted)", "dels").collect())
+            assert {x["batch_id"]: (x["ups"], x["dels"])
+                    for x in rows} == baseline, lost
+
+
 def test_intact_table_reports_nothing(spark, tmp_path):
     log = str(tmp_path / "log")
     generate_change_log(log, CFG)
