@@ -64,3 +64,58 @@ def replay(log_dir: str, max_batch_id: int | None = None) -> list[dict[str, Any]
         else:
             state[key] = {c: e[c] for c in FINAL_COLS}
     return [state[k] for k in sorted(state)]
+
+
+def spark_replay(spark, log_dir: str, max_batch_id: int | None = None):
+    """One-shot Spark replay of the whole log — an INDEPENDENT plan for
+    cross-checking the engine at scales where the dict replay above is
+    infeasible (the 10^8+-event soaks).
+
+    Independence argument: the engine applies the log incrementally —
+    per-batch LWW reduce, bucket routing, delta layers, fold/compaction
+    maintenance, snapshot commits — while this is a single global
+    ``max_by(payload, lsn)`` over the raw files with none of that
+    machinery (no bucketing, no salting, no table metadata, no batching).
+    Sequential apply in LSN order per key == keep the max-LSN event per
+    key, then drop keys whose winner is a delete; duplicate-LSN events are
+    verbatim copies so the ``max_by`` tie pick is value-identical. The
+    validity gate mirrors ``merge._valid_pred`` / the dict replay above.
+
+    Returns the final state (FINAL_COLS) — compare with
+    ``table.read(spark)`` via two-sided ``exceptAll`` counts.
+    """
+    from pyspark.sql import functions as F
+
+    from .schema import CHANGE_COLS, SchemaRegistry, align_to_target
+
+    registry = SchemaRegistry()
+    parts = []
+    for epoch_dir in sorted(glob.glob(os.path.join(log_dir, "schema_id=*"))):
+        schema_id = int(os.path.basename(epoch_dir).split("=")[1])
+        # explicit epoch schema (no mergeSchema inference pass); Spark
+        # appends the discovered batch_id partition column to the
+        # user-specified schema
+        df = spark.read.schema(registry.get(schema_id)).parquet(epoch_dir)
+        parts.append(align_to_target(df).select(*CHANGE_COLS, "batch_id"))
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    if max_batch_id is not None:
+        events = events.filter(F.col("batch_id") <= max_batch_id)
+    valid = F.coalesce(
+        F.col("op").isin("I", "U", "D")
+        & (F.col("turn_idx") >= 0)
+        & F.col("conv_id").isNotNull()
+        & F.col("lsn").isNotNull(),
+        F.lit(False),
+    )
+    payload = F.struct(*[F.col(c) for c in ["op"] + FINAL_COLS])
+    winners = (
+        events.filter(valid)
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(payload, F.col("lsn")).alias("w"))
+    )
+    return (
+        winners.filter(F.col("w.op") != "D")
+        .select(*[F.col(f"w.{c}").alias(c) for c in FINAL_COLS])
+    )
