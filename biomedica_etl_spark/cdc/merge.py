@@ -701,12 +701,18 @@ def compact_layers(
     plan for buckets whose delta outgrows a single task; ``plan="auto"``
     (default) routes each bucket by its planned delta BYTES — at most
     ``local_max_bytes`` per task goes local, anything bigger takes the
-    exchange plan — so the shuffle-free fast path never becomes a
-    single-task OOM on a pathological bucket. Sizing uses the planned
-    snapshot's own file inventory (``os.path.getsize`` here; a manifest-
-    recorded size column on an object store), so routing costs no data
-    read. The two plans' outputs are proven byte-identical in tests and
-    union into one stage write when a fold mixes them.
+    exchange plan — bounding what any one fold task holds. Sizing uses
+    the planned snapshot's own file inventory (``os.path.getsize`` here;
+    a manifest-recorded size column on an object store), so routing costs
+    no data read. NOTE these are COMPRESSED bytes: in-memory expansion is
+    payload-dependent (the 256M soak's zipf-hot bucket expanded ~20x), so
+    size ``local_max_bytes`` as task-memory-budget / expected expansion.
+    The router is purely a memory/perf lever — correctness never depends
+    on it, because the Arrow fold kernel runs at 64-bit offsets and is
+    immune to the int32 'offset overflow' a >2 GiB text column otherwise
+    hits (``sources/datasource.py:_lww_fold``). The two plans' outputs
+    are proven byte-identical in tests and union into one stage write
+    when a fold mixes them.
 
     ``tier_max_bytes`` > 0 turns folds TIERED (size-tiered LSM / RocksDB
     universal-compaction discipline): within each bucket, only layers of

@@ -107,6 +107,42 @@ def _read_stored_arrow(files: list[str]) -> pa.Table:
     return pa.concat_tables(tabs) if tabs else target.empty_table()
 
 
+def _large(schema: pa.Schema) -> pa.Schema:
+    """64-bit-offset variant of a schema (string -> large_string,
+    binary -> large_binary). Folding happens in this shape so a bucket
+    whose text exceeds 2 GiB in memory never overflows Arrow's int32
+    offsets — on-disk bytes say nothing about in-memory bytes (the 256M
+    soak's zipf-hot bucket compressed ~20x), so the kernel, not the byte
+    router, has to carry this guarantee."""
+    up = {pa.string(): pa.large_string(), pa.binary(): pa.large_binary()}
+    return pa.schema([
+        pa.field(f.name, up.get(f.type, f.type), f.nullable) for f in schema
+    ])
+
+
+# max estimated bytes per output chunk when casting back to the int32-offset
+# schema Spark expects. 256 MB leaves 8x headroom under the 2 GiB offset
+# ceiling for row-size skew inside a slice, and keeps the RecordBatches a
+# fold task emits to Spark moderately sized.
+_CAST_CAP_BYTES = 256 << 20
+
+
+def _cast_capped(tab: pa.Table, target: pa.Schema,
+                 cap: int = _CAST_CAP_BYTES) -> pa.Table:
+    """Cast a (possibly large-offset, possibly single-multi-GiB-chunk)
+    table back to ``target`` as multiple chunks of ~``cap`` bytes each.
+    A wholesale ``cast`` would rebuild each column as ONE int32-offset
+    array and overflow past 2 GiB; per-slice casts keep every output
+    chunk safely under the ceiling."""
+    if tab.num_rows == 0:
+        return target.empty_table()
+    step = max(1, int(tab.num_rows * cap / max(tab.nbytes, 1)))
+    return pa.concat_tables([
+        tab.slice(i, step).cast(target)
+        for i in range(0, tab.num_rows, step)
+    ])
+
+
 def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
     """Vectorized per-bucket LWW resolve: newest ``_lsn`` wins per
     (conv_id, turn_idx); tombstones dropped unless requested. Bucket-local
@@ -117,13 +153,21 @@ def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
     object dtype and back, which made minor folds cost more than the
     shuffle they avoided. Duplicate (key, lsn) rows are exact duplicates
     by the at-least-once delivery contract, so tie order is value-free —
-    same arbitrariness the JVM ``max_by`` reduce has."""
+    same arbitrariness the JVM ``max_by`` reduce has.
+
+    The fold runs on the 64-bit-offset variant of the schema: ``sort_by``
+    materializes the take as ONE chunk per column, so a bucket carrying
+    >2 GiB of text (a zipf-hot conversation — the 256M soak hit exactly
+    this) would otherwise die with Arrow's 'offset overflow while
+    concatenating arrays'. The result is cast back to Spark's int32-offset
+    shape in bounded slices (``_cast_capped``)."""
     import pyarrow.compute as pc
 
     if stored.num_rows:
-        tab = stored.sort_by([("conv_id", "ascending"),
-                              ("turn_idx", "ascending"),
-                              (SYS_LSN, "ascending")])
+        tab = stored.cast(_large(stored.schema))
+        tab = tab.sort_by([("conv_id", "ascending"),
+                           ("turn_idx", "ascending"),
+                           (SYS_LSN, "ascending")])
         n = tab.num_rows
         conv = tab["conv_id"].combine_chunks()
         turn = tab["turn_idx"].combine_chunks()
@@ -147,7 +191,7 @@ def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:
     if not tombstones:
         tab = tab.drop_columns([SYS_LSN, SYS_DELETED])
     target = _arrow_schema(tombstones)
-    return tab.select(target.names).cast(target)
+    return _cast_capped(tab.select(target.names), target)
 
 
 def _root_of(options: dict) -> str:
