@@ -341,7 +341,15 @@ def _write_change_batches(batches, root: str, n_buckets: int
         bucket_map = {c: bucket_of(c, n_buckets)
                       for c in out["conv_id"].unique()}
         for b, part in out.groupby(out["conv_id"].map(bucket_map)):
-            chunks.setdefault(int(b), []).append(part)
+            # to Arrow (and to the final schema) per part, NOT at task end:
+            # concat_tables preserves chunks, so a bucket accumulating
+            # >2 GiB of text across batches never has to materialize a
+            # single int32-offset array (the overflow class _lww_fold
+            # guards against), and Arrow buffers hold the accumulated
+            # strings more compactly than pandas objects would
+            chunks.setdefault(int(b), []).append(
+                pa.Table.from_pandas(part, preserve_index=False)
+                .select(out_schema.names).cast(out_schema))
         n_rows += len(out)
         lo, hi = int(df["lsn"].min()), int(df["lsn"].max())
         lsn_lo = lo if lsn_lo is None else min(lsn_lo, lo)
@@ -350,9 +358,7 @@ def _write_change_batches(batches, root: str, n_buckets: int
     if chunks:
         os.makedirs(task_dir, exist_ok=True)
     for b, parts in sorted(chunks.items()):
-        whole = parts[0] if len(parts) == 1 else pd.concat(parts)
-        tab = (pa.Table.from_pandas(whole, preserve_index=False)
-               .select(out_schema.names).cast(out_schema))
+        tab = pa.concat_tables(parts)
         path = os.path.join(task_dir, f"b{b}-{uuid.uuid4().hex}.parquet")
         pq.write_table(tab, path, compression="zstd")
         files.append((b, path))
