@@ -133,14 +133,28 @@ def _cast_capped(tab: pa.Table, target: pa.Schema,
     table back to ``target`` as multiple chunks of ~``cap`` bytes each.
     A wholesale ``cast`` would rebuild each column as ONE int32-offset
     array and overflow past 2 GiB; per-slice casts keep every output
-    chunk safely under the ceiling."""
+    chunk safely under the ceiling.
+
+    Each slice is compacted COLUMN-BY-COLUMN before the cast: ``slice``
+    is a zero-copy VIEW whose offsets stay absolute into the original
+    multi-GiB values buffer, and Arrow's offset-narrowing cast rejects
+    any array whose FINAL absolute offset exceeds int32 — so every slice
+    past the 2 GiB point of the backing buffer would fail ("input array
+    too large", the 256M soak's second crash) even though its own span
+    is tiny. ``Table.combine_chunks()`` does NOT help: it short-circuits
+    single-chunk columns and returns the same absolute-offset view;
+    only ``ChunkedArray.combine_chunks()`` (concatenate) actually copies
+    into fresh buffers starting at offset 0, which the cast then
+    accepts."""
     if tab.num_rows == 0:
         return target.empty_table()
     step = max(1, int(tab.num_rows * cap / max(tab.nbytes, 1)))
-    return pa.concat_tables([
-        tab.slice(i, step).cast(target)
-        for i in range(0, tab.num_rows, step)
-    ])
+    parts = []
+    for i in range(0, tab.num_rows, step):
+        sl = tab.slice(i, step)
+        arrs = [sl.column(j).combine_chunks() for j in range(sl.num_columns)]
+        parts.append(pa.Table.from_arrays(arrs, schema=sl.schema).cast(target))
+    return pa.concat_tables(parts)
 
 
 def _lww_fold(stored: pa.Table, tombstones: bool) -> pa.Table:

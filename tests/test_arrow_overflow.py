@@ -57,13 +57,21 @@ def _max_chunk_bytes(tab: pa.Table) -> int:
 
 
 def test_fold_survives_over_2gib_of_text_in_one_bucket():
-    # 10 rows x ~270 MB = ~2.6 GiB of character data in one fold input —
-    # past the int32 offset ceiling that killed the soak's hot bucket.
+    # The SURVIVING text (not just the input) must exceed the int32
+    # offset ceiling: the soak's second crash was `_cast_capped` slicing
+    # a >2 GiB post-fold table — `slice` keeps absolute offsets into the
+    # original values buffer, and the narrowing cast rejects any view
+    # whose final absolute offset passes 2 GiB, so every slice beyond
+    # that point failed with 'input array too large' even at 256 MB
+    # spans. 10 winners x ~270 MB = ~2.6 GiB survives; plus 5 superseded
+    # versions so LWW resolution is still exercised at this size.
     big = "lorem ipsum " * 22_500_000  # ~270 MB
     rows = []
     for i in range(5):
         # two versions per key; the higher-lsn one must win
         rows.append(_row(f"conv-{i}", 0, big + f" v1-{i}", lsn=10 + i))
+        rows.append(_row(f"conv-{i}", 0, big + f" v2-{i}", lsn=100 + i))
+    for i in range(5, 10):
         rows.append(_row(f"conv-{i}", 0, big + f" v2-{i}", lsn=100 + i))
     stored = _stored(rows)
     assert stored["text"].nbytes > _INT32_CEIL
@@ -71,9 +79,10 @@ def test_fold_survives_over_2gib_of_text_in_one_bucket():
     out = _lww_fold(stored, tombstones=True)
 
     assert out.schema == TARGET
-    assert out.num_rows == 5
+    assert out.num_rows == 10
+    assert out["text"].nbytes > _INT32_CEIL  # survivors alone pass int32
     suffixes = sorted(t[-30:].split()[-1] for t in out["text"].to_pylist())
-    assert suffixes == [f"v2-{i}" for i in range(5)]
+    assert suffixes == [f"v2-{i}" for i in range(10)]
     # every output chunk must sit safely under the int32 offset ceiling
     assert _max_chunk_bytes(out) < _INT32_CEIL
 
