@@ -90,6 +90,52 @@ def _cdc_apply_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.final_state()
 
 
+_DELETE_PRED_SPARK = "turn_idx % 7 = 3 OR role = 'system'"
+_DELETE_PRED_SQL = "(turn_idx % 7 = 3 OR role = 'system')"
+
+
+def _cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete (DELETE FROM ... WHERE) as an engine commit: build
+    the table from the deterministic log, then delete_where emits
+    tombstones for every live match at a fresh LSN through the SAME merge
+    path as ingest (O(matched) MOR layer; change-feed visible). Oracle:
+    the LWW replay minus the predicate's matches."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-delete-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run()
+    runner.delete_where(_DELETE_PRED_SPARK)
+    return runner.final_state()
+
+
+def _cdc_delete_where_oracle_sql() -> str:
+    """The CDC replay oracle with the deleted rows excluded. The predicate
+    is evaluated on LIVE winners only (role is non-null for winners — only
+    tombstones null it), matching delete_where's read-then-delete plan."""
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+  AND NOT {_DELETE_PRED_SQL}
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_oracle_sql() -> str:
     """DuckDB twin of the engine's end state: schema-tolerant union of every
     batch file (epoch 0/1 lack ``tool``; ``turn_idx`` widens int32->int64 at
@@ -126,6 +172,7 @@ ORDER BY conv_id, turn_idx
 _PRIORITY_ORDER = (
     # flagship — only driver row ever was the round-1 FAIL
     "cdc_apply_end_to_end",
+    "cdc_delete_where",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -181,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     out["cdc_apply_end_to_end"] = _cdc_apply_end_to_end
+    out["cdc_delete_where"] = _cdc_delete_where
     return _reorder(out)
 
 
@@ -191,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
             if sql is not None:
                 out[name] = sql
     out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
+    out["cdc_delete_where"] = _cdc_delete_where_oracle_sql()
     return _reorder(out)

@@ -1047,3 +1047,81 @@ def rebucket(
         _written_dirs(stage), new_n_buckets, snap["lsn_lo"], snap["lsn_hi"],
         {"from_n_buckets": snap["n_buckets"]},
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table: CowTable,
+    predicate: Any,
+    mode: str = "mor",
+    batch_id: int | None = None,
+    lineage_dir: str | None = None,
+    lineage_executor: Any = None,
+    salted: bool = False,
+    n_salts: int = 8,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
+    max_records_per_file: int = 0,
+) -> dict[str, Any] | None:
+    """Predicate delete (``DELETE FROM t WHERE <predicate>``) as ONE commit.
+
+    The reference-side analogue is dropping records that fail a late gate
+    (license revoked, takedown list) from an already-built corpus — the
+    reference rebuilds from scratch (``scripts/02_extract_media.py`` re-runs
+    the whole filter chain); here it is an O(matched) engine operation.
+
+    Plan: scan the LIVE table with ``predicate`` pushed into the
+    column-pruned parquet read (only the key columns and the columns the
+    predicate references survive pruning), synthesize ``op='D'`` change
+    rows for every match at a fresh LSN strictly above every LSN the table
+    has ever committed (driver-side metadata max over snapshot ``lsn_hi``
+    — O(snapshots), no scan), and route them through the SAME merge
+    machinery as ingest. Everything is inherited, not re-implemented:
+
+    - ``mode='mor'``: the tombstones land as an O(matched) delta layer —
+      the base is never read or rewritten, and ``read_changes_since``
+      serves the deletes to downstream CDC subscribers like any other
+      change set.
+    - ``mode='cow'``: the affected buckets are rewritten without the
+      matched rows' payloads (the tombstone keeps keys + ``_lsn`` only —
+      payload columns null). Combined with ``expire_snapshots`` +
+      ``remove_orphaned_files`` this is a PHYSICAL erase (GDPR/takedown):
+      after GC no live or historical file holds the deleted text. Keys
+      remain as tombstones so a straggling out-of-order upsert with a
+      lower LSN still loses.
+    - exactly-once: pass a stable ``batch_id`` and retries fence exactly
+      like ingest batches; the default ``None`` skips fencing (ad-hoc
+      maintenance).
+    - lineage: per-bucket rows via ``lineage_dir``, same as ingest.
+
+    Because the delete LSN is above all committed LSNs, the tombstones win
+    LWW against every existing version, and a subsequent ``delete_where``
+    gets a strictly larger LSN (the commit records it in ``lsn_hi``).
+    ``predicate`` is a Column or a SQL string over the payload columns.
+    Returns the committed snapshot dict (or None on a fenced batch_id).
+    """
+    from .schema import PAYLOAD_FIELDS
+
+    if batch_id is not None and table.is_committed(batch_id):
+        return None
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    delete_lsn = 1 + max(
+        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
+        default=0,
+    )
+    types = dict(PAYLOAD_FIELDS)
+    changes = table.read(spark).filter(pred).select(
+        F.lit(delete_lsn).alias("lsn"),
+        F.lit("D").alias("op"),
+        *KEY_COLS,
+        *[F.lit(None).cast(types[c]).alias(c)
+          for c in PAYLOAD_COLS if c not in KEY_COLS],
+    )
+    apply_fn = mor_apply_batch if mode == "mor" else merge_batch
+    return apply_fn(
+        spark, table, changes, batch_id,
+        salted=salted, n_salts=n_salts, lineage_dir=lineage_dir,
+        plan=plan, shuffle_salts=shuffle_salts,
+        lineage_executor=lineage_executor,
+        max_records_per_file=max_records_per_file,
+    )

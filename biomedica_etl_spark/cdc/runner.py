@@ -549,6 +549,23 @@ class CdcRunner:
 
         return reconcile_lineage(self.spark, self.table, self.lineage_dir)
 
+    def delete_where(self, predicate: Any,
+                     batch_id: int | None = None) -> dict[str, Any] | None:
+        """Predicate delete against this runner's table, riding the runner's
+        configured merge plan and lineage — see ``merge.delete_where``.
+        MOR runners append an O(matched) tombstone layer (change-feed
+        visible); COW runners rewrite the affected buckets (the physical-
+        erase half, completed by ``expire_snapshots`` + orphan GC)."""
+        from .merge import delete_where
+
+        return self._retry_commit(lambda: delete_where(
+            self.spark, self.table, predicate, mode=self.mode,
+            batch_id=batch_id, lineage_dir=self.lineage_dir,
+            salted=self.salted, n_salts=self.n_salts, plan=self.plan,
+            shuffle_salts=self.shuffle_salts,
+            max_records_per_file=self.max_records_per_file,
+        ))
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")
