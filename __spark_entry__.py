@@ -136,6 +136,51 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate update (UPDATE ... SET) as an engine commit: full-row
+    op='U' events for every live match at a fresh LSN through the ingest
+    merge path — assigned columns evaluated from the row's current values,
+    the rest carried through. Oracle: the LWW replay with the same CASE
+    transform applied."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-update-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run()
+    runner.update_where("role = 'tool'",
+                        {"tool": "coalesce(tool, 'none')",
+                         "text": "concat(text, '!')"})
+    return runner.final_state()
+
+
+def _cdc_update_where_oracle_sql() -> str:
+    """The CDC replay oracle with the update's CASE transform applied to
+    the matched live winners."""
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN role = 'tool' THEN text || '!' ELSE text END AS text,
+       CASE WHEN role = 'tool' THEN coalesce(tool, 'none') ELSE tool END AS tool,
+       ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_oracle_sql() -> str:
     """DuckDB twin of the engine's end state: schema-tolerant union of every
     batch file (epoch 0/1 lack ``tool``; ``turn_idx`` widens int32->int64 at
@@ -173,6 +218,7 @@ _PRIORITY_ORDER = (
     # flagship — only driver row ever was the round-1 FAIL
     "cdc_apply_end_to_end",
     "cdc_delete_where",
+    "cdc_update_where",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -229,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     out["cdc_apply_end_to_end"] = _cdc_apply_end_to_end
     out["cdc_delete_where"] = _cdc_delete_where
+    out["cdc_update_where"] = _cdc_update_where
     return _reorder(out)
 
 
@@ -240,4 +287,5 @@ def oracle_sql() -> dict[str, str]:
                 out[name] = sql
     out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
     out["cdc_delete_where"] = _cdc_delete_where_oracle_sql()
+    out["cdc_update_where"] = _cdc_update_where_oracle_sql()
     return _reorder(out)

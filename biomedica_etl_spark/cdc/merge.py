@@ -1125,3 +1125,77 @@ def delete_where(
         lineage_executor=lineage_executor,
         max_records_per_file=max_records_per_file,
     )
+
+
+def update_where(
+    spark: SparkSession,
+    table: CowTable,
+    predicate: Any,
+    assignments: dict[str, Any],
+    mode: str = "mor",
+    batch_id: int | None = None,
+    lineage_dir: str | None = None,
+    lineage_executor: Any = None,
+    salted: bool = False,
+    n_salts: int = 8,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
+    max_records_per_file: int = 0,
+) -> dict[str, Any] | None:
+    """Predicate update (``UPDATE t SET col = expr WHERE <predicate>``) as
+    ONE commit — the write half of the reference's in-place record fix-ups
+    (e.g. backfilling Entrez fields onto already-written records,
+    ``scripts/05_json_to_entrez.py:324-330``), expressed as an O(matched)
+    engine operation instead of a full rebuild.
+
+    Same planner shape as ``delete_where``: scan the LIVE table with the
+    predicate pushed into the pruned read, synthesize FULL-ROW ``op='U'``
+    change events for every match at a fresh LSN strictly above every
+    committed LSN — assigned columns evaluated from ``assignments``
+    (Column or SQL-string exprs over the row's current values), all other
+    payload columns carried through unchanged (the engine's upserts are
+    full-row, so the merged row stays complete) — and route them through
+    the SAME merge machinery as ingest. MOR appends an O(matched) layer
+    (change-feed visible); COW rewrites only the affected buckets; a
+    stable ``batch_id`` fences retries exactly-once. Keys are immutable:
+    assigning ``conv_id``/``turn_idx`` raises (a key change is a
+    delete+insert, two intents this op refuses to guess).
+    """
+    from .schema import PAYLOAD_FIELDS
+
+    bad = set(assignments) & set(KEY_COLS)
+    if bad:
+        raise ValueError(f"cannot assign key columns {sorted(bad)}; "
+                         "a key change is a delete + insert")
+    unknown = set(assignments) - set(PAYLOAD_COLS)
+    if unknown:
+        raise ValueError(f"unknown columns {sorted(unknown)}")
+    if batch_id is not None and table.is_committed(batch_id):
+        return None
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    update_lsn = 1 + max(
+        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
+        default=0,
+    )
+    types = dict(PAYLOAD_FIELDS)
+
+    def _value(c: str):
+        v = assignments.get(c)
+        if v is None:
+            return F.col(c)
+        return (F.expr(v) if isinstance(v, str) else v).cast(types[c])
+
+    changes = table.read(spark).filter(pred).select(
+        F.lit(update_lsn).alias("lsn"),
+        F.lit("U").alias("op"),
+        *KEY_COLS,
+        *[_value(c).alias(c) for c in PAYLOAD_COLS if c not in KEY_COLS],
+    )
+    apply_fn = mor_apply_batch if mode == "mor" else merge_batch
+    return apply_fn(
+        spark, table, changes, batch_id,
+        salted=salted, n_salts=n_salts, lineage_dir=lineage_dir,
+        plan=plan, shuffle_salts=shuffle_salts,
+        lineage_executor=lineage_executor,
+        max_records_per_file=max_records_per_file,
+    )

@@ -566,6 +566,20 @@ class CdcRunner:
             max_records_per_file=self.max_records_per_file,
         ))
 
+    def update_where(self, predicate: Any, assignments: dict[str, Any],
+                     batch_id: int | None = None) -> dict[str, Any] | None:
+        """Predicate update against this runner's table, riding the runner's
+        configured merge plan and lineage — see ``merge.update_where``."""
+        from .merge import update_where
+
+        return self._retry_commit(lambda: update_where(
+            self.spark, self.table, predicate, assignments, mode=self.mode,
+            batch_id=batch_id, lineage_dir=self.lineage_dir,
+            salted=self.salted, n_salts=self.n_salts, plan=self.plan,
+            shuffle_salts=self.shuffle_salts,
+            max_records_per_file=self.max_records_per_file,
+        ))
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")

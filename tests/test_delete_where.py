@@ -178,3 +178,69 @@ def test_delete_where_chained_deletes_get_increasing_lsns(spark, log_dir, tmp_pa
     expected = [r for r in replay(log_dir)
                 if r["role"] not in ("system", "tool")]
     assert [r.asDict() for r in runner.final_state().collect()] == expected
+
+
+# ---- update_where (predicate UPDATE ... SET) -------------------------------
+
+
+def _apply_update(row: dict) -> dict:
+    out = dict(row)
+    out["tool"] = out["tool"] if out["tool"] is not None else "none"
+    out["text"] = (out["text"] or "") + "!"
+    return out
+
+
+UPD_PRED = "role = 'tool'"
+UPD_SET = {"tool": "coalesce(tool, 'none')", "text": "concat(text, '!')"}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_where_matches_oracle(spark, log_dir, tmp_path, mode):
+    runner = _build(spark, log_dir, str(tmp_path / f"t-{mode}"), mode)
+    snap = runner.update_where(UPD_PRED, UPD_SET)
+    expected = [_apply_update(r) if r["role"] == "tool" else r
+                for r in replay(log_dir)]
+    n_matched = sum(1 for r in replay(log_dir) if r["role"] == "tool")
+    assert n_matched > 0
+    assert snap["summary"]["rows_upserted"] == n_matched
+    actual = [r.asDict() for r in runner.final_state().collect()]
+    assert actual == expected
+
+
+def test_update_where_unmodified_columns_carried(spark, log_dir, tmp_path):
+    """Full-row upsert semantics: columns NOT in assignments keep their
+    current values even though the update writes complete rows."""
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    before = {(r["conv_id"], r["turn_idx"]): r for r in replay(log_dir)}
+    runner.update_where(UPD_PRED, {"text": "'REDACTED'"})
+    for r in runner.final_state().collect():
+        d = r.asDict()
+        orig = before[(d["conv_id"], d["turn_idx"])]
+        if orig["role"] == "tool":
+            assert d["text"] == "REDACTED"
+            assert (d["role"], d["tool"], d["ts"]) == (
+                orig["role"], orig["tool"], orig["ts"])
+        else:
+            assert d == orig
+
+
+def test_update_where_rejects_key_assignment(spark, log_dir, tmp_path):
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    with pytest.raises(ValueError, match="key columns"):
+        runner.update_where(UPD_PRED, {"conv_id": "'x'"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        runner.update_where(UPD_PRED, {"nope": "'x'"})
+
+
+def test_update_where_exactly_once_and_feed(spark, log_dir, tmp_path):
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    pre = runner.table.current_snapshot()["snapshot_id"]
+    first = runner.update_where(UPD_PRED, UPD_SET, batch_id=9_200_001)
+    assert first is not None
+    state = [r.asDict() for r in runner.final_state().collect()]
+    assert runner.update_where(UPD_PRED, UPD_SET, batch_id=9_200_001) is None
+    assert [r.asDict() for r in runner.final_state().collect()] == state
+    # the update rides the change feed as ordinary upserts
+    feed = runner.table.read_changes_since(spark, pre).collect()
+    assert feed and all(not r["_deleted"] for r in feed)
+    assert all(r["text"].endswith("!") for r in feed)
