@@ -537,10 +537,27 @@ def mor_apply_batch(
 def compact(
     spark: SparkSession, table: CowTable, shuffle_salts: int = 4,
     max_records_per_file: int = 0, buckets: list[int] | None = None,
+    purge_tombstones_below: int | None = None,
 ) -> dict[str, Any] | None:
     """Fold merge-on-read delta layers into the base (COW rewrite of the
     buckets that have layers). Tombstones are retained — an out-of-order
     batch with a lower lsn must still lose to a compacted delete.
+
+    ``purge_tombstones_below=W`` additionally DROPS tombstone rows with
+    ``_lsn < W`` from the rewritten base — the Cassandra ``gc_grace`` /
+    Iceberg equality-delete-compaction discipline, and the final step of a
+    physical erase (after a COW ``delete_where`` the keys themselves
+    linger as payload-null tombstones; a purging compact removes them).
+    ``W`` is the caller's guarantee that every FUTURE event carries
+    ``lsn >= W`` (the source's replication low-water mark): any such event
+    would beat a ``< W`` tombstone under LWW anyway, so dropping it cannot
+    change any future merge outcome — while a straggler BELOW ``W`` is by
+    contract impossible (were one to arrive, it would now insert instead
+    of losing; that is the same trade every gc_grace system makes). Purging
+    is only sound in a fold that INCLUDES the base: a minor fold's merged
+    layer must keep shadowing base rows, so ``compact_layers`` never
+    purges. The purged count lands in the commit summary
+    (``tombstones_purged``), measured in-flight via ``df.observe``.
 
     ``buckets=None`` compacts every bucket that has layers; an explicit
     list compacts only those (PARTIAL compaction — the Iceberg/Delta
@@ -579,6 +596,15 @@ def compact(
         lww_reduce_aligned(as_events, BUCKET_COL, table.n_buckets,
                            shuffle_salts=shuffle_salts)
     )
+    purge_obs: Observation | None = None
+    if purge_tombstones_below is not None:
+        purge_obs = Observation()
+        is_purged = F.col(SYS_DELETED) & (
+            F.col(SYS_LSN) < F.lit(int(purge_tombstones_below)))
+        resolved = resolved.observe(
+            purge_obs,
+            F.coalesce(F.sum(is_purged.cast("long")), F.lit(0)).alias("purged"),
+        ).filter(~is_purged)
     stage = table.new_data_dir()
     _stage_writer(resolved, max_records_per_file).parquet(stage)
     rewritten = _written_dirs(stage)
@@ -589,15 +615,17 @@ def compact(
             empty = os.path.join(stage, f"{BUCKET_COL}={b}")
             os.makedirs(empty, exist_ok=True)
             rewritten[b] = empty
+    summary = {"commit_type": "compact", "buckets_rewritten": len(rewritten)}
+    if purge_obs is not None:
+        summary["tombstones_purged"] = purge_obs.get["purged"]
+        summary["purge_watermark"] = int(purge_tombstones_below)
     # commit with a metadata-only retry: losing the optimistic-concurrency
     # race to an interleaved apply does NOT invalidate the fold (appenders
     # only add layers; commit_compaction preserves unfolded ones)
     for attempt in range(4):
         try:
             return table.commit_compaction(
-                rewritten, folded,
-                {"commit_type": "compact",
-                 "buckets_rewritten": len(rewritten)},
+                rewritten, folded, summary,
             )
         except ConcurrentCommitError:
             if attempt == 3:
