@@ -1098,13 +1098,16 @@ def delete_where(
     reference rebuilds from scratch (``scripts/02_extract_media.py`` re-runs
     the whole filter chain); here it is an O(matched) engine operation.
 
-    Plan: scan the LIVE table with ``predicate`` pushed into the
-    column-pruned parquet read (only the key columns and the columns the
-    predicate references survive pruning), synthesize ``op='D'`` change
+    Plan: one LWW-resolved scan of the live table with ``predicate``
+    evaluated on the winners (it sits ABOVE the max-lsn aggregate by
+    necessity — the predicate must see current values, so O(live rows)
+    read is the floor for predicate DML; key-column predicates do push
+    through the aggregate's grouping keys), synthesize ``op='D'`` change
     rows for every match at a fresh LSN strictly above every LSN the table
     has ever committed (driver-side metadata max over snapshot ``lsn_hi``
     — O(snapshots), no scan), and route them through the SAME merge
-    machinery as ingest. Everything is inherited, not re-implemented:
+    machinery as ingest — so the WRITE is O(matched), not O(table).
+    Everything is inherited, not re-implemented:
 
     - ``mode='mor'``: the tombstones land as an O(matched) delta layer —
       the base is never read or rewritten, and ``read_changes_since``
@@ -1176,8 +1179,10 @@ def update_where(
     ``scripts/05_json_to_entrez.py:324-330``), expressed as an O(matched)
     engine operation instead of a full rebuild.
 
-    Same planner shape as ``delete_where``: scan the LIVE table with the
-    predicate pushed into the pruned read, synthesize FULL-ROW ``op='U'``
+    Same planner shape as ``delete_where``: one LWW-resolved scan of the
+    live table with the predicate evaluated on the winners (above the
+    max-lsn aggregate — it must see current values; the write, not the
+    read, is O(matched)), synthesize FULL-ROW ``op='U'``
     change events for every match at a fresh LSN strictly above every
     committed LSN — assigned columns evaluated from ``assignments``
     (Column or SQL-string exprs over the row's current values), all other
