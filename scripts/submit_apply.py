@@ -50,7 +50,18 @@ def main() -> None:
                         "(default), shuffle-free local, or salted exchange")
     p.add_argument("--shuffle-salts", type=int, default=4)
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--delete-where", default=None, metavar="PREDICATE",
+                   help="after the apply loop, run a predicate delete "
+                        "(tombstones at a fresh LSN through the merge path)")
+    p.add_argument("--update-where", default=None, metavar="PREDICATE",
+                   help="after the apply loop, run a predicate update; "
+                        "requires --update-set")
+    p.add_argument("--update-set", default=None, metavar="JSON",
+                   help='assignments for --update-where, '
+                        'e.g. {"text": "upper(text)"}')
     args = p.parse_args()
+    if (args.update_where is None) != (args.update_set is None):
+        p.error("--update-where and --update-set must be given together")
 
     # import AFTER spark-submit has added --py-files zips to sys.path
     from pyspark.sql import SparkSession
@@ -74,6 +85,14 @@ def main() -> None:
         async_lineage=True,
     )
     result = runner.run(max_batches=args.max_batches)
+    dml: dict = {}
+    if args.delete_where is not None:
+        snap = runner.delete_where(args.delete_where)
+        dml["delete_where_rows"] = snap["summary"]["rows_deleted"] if snap else 0
+    if args.update_where is not None:
+        snap = runner.update_where(args.update_where,
+                                   json.loads(args.update_set))
+        dml["update_where_rows"] = snap["summary"]["rows_upserted"] if snap else 0
     print(
         json.dumps(
             {
@@ -81,6 +100,7 @@ def main() -> None:
                 "batches_skipped": result.batches_skipped,
                 "rows_upserted": result.rows_upserted,
                 "rows_deleted": result.rows_deleted,
+                **dml,
                 **runner.summary(),
             }
         )
