@@ -9,8 +9,10 @@ TimescaleDB continuous-aggregate / Materialize-maintained-view discipline
 expressed on the engine's own snapshot metadata:
 
 - counts are RETRACTABLE aggregates (insert +1, delete -1, update 0), so
-  deletes need no rescan; non-retractable aggregates (max ts) would need
-  per-key recompute on delete and are deliberately excluded;
+  deletes need no rescan; non-retractable aggregates (``max_ts`` under
+  ``track_max_ts=True``) use the other IVM discipline — affected-group
+  recompute, pruned to the changed conversations' buckets and keys (see
+  the class docstring);
 - the refresh is idempotent: cursor == current snapshot is a no-op, and a
   crash between the state write and the cursor write just replays the same
   diff into the same deterministic state (the fold is a pure function of
@@ -38,10 +40,24 @@ from .table import CowTable
 
 
 class RollupTable:
-    """Per-conversation live-turn counts, incrementally maintained."""
+    """Per-conversation live-turn counts, incrementally maintained.
 
-    def __init__(self, root: str) -> None:
+    ``track_max_ts=True`` adds a NON-retractable aggregate (``max_ts``)
+    and switches the incremental path from diff-folding to
+    affected-group recompute — the other standard IVM discipline:
+    deleting a conversation's newest turn must LOWER its ``max_ts``,
+    which no fold over the diff alone can produce. The recompute is
+    pruned twice: to the affected conversations' BUCKETS (a bounded
+    driver-side list — at most ``n_buckets`` values regardless of how
+    many groups changed) and then to the affected groups by semi-join,
+    so its cost is O(rows of changed conversations), never a full
+    re-aggregation. Unaffected groups carry their prior row forward
+    untouched (anti-join), and a group whose last live row vanished
+    simply has no recomputed row — it drops out."""
+
+    def __init__(self, root: str, track_max_ts: bool = False) -> None:
         self.root = root
+        self.track_max_ts = track_max_ts
         os.makedirs(root, exist_ok=True)
 
     def _pointer_path(self) -> str:
@@ -58,12 +74,18 @@ class RollupTable:
         ptr = self._pointer()
         return None if ptr is None else ptr["snapshot_id"]
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        ptr = self._pointer()
-        schema = T.StructType([
+    def _schema(self) -> T.StructType:
+        fields = [
             T.StructField("conv_id", T.StringType()),
             T.StructField("n_turns", T.LongType()),
-        ])
+        ]
+        if self.track_max_ts:
+            fields.append(T.StructField("max_ts", T.TimestampType()))
+        return T.StructType(fields)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        ptr = self._pointer()
+        schema = self._schema()
         if ptr is None:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
@@ -99,15 +121,39 @@ class RollupTable:
         cur = self.cursor()
         if cur == target:
             return {"refreshed": False, "cursor": cur}
+        aggs = [F.count(F.lit(1)).alias("n_turns")]
+        if self.track_max_ts:
+            aggs.append(F.max("ts").alias("max_ts"))
         if cur is None:
-            full = (
-                table.read(spark)
-                .groupBy("conv_id")
-                .agg(F.count(F.lit(1)).alias("n_turns"))
-            )
+            full = table.read(spark).groupBy("conv_id").agg(*aggs)
             self._commit(full, target)
             return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
         d = table.diff(spark, cur, target)
+        if self.track_max_ts:
+            # non-retractable aggregate: recompute ONLY the affected groups,
+            # pruned first to their buckets (bounded driver list) then to
+            # the groups by semi-join; unaffected rows carry forward
+            from .table import bucket_expr
+
+            affected = d.select("conv_id").distinct()
+            buckets = sorted(
+                r["b"] for r in affected.select(
+                    bucket_expr("conv_id", table.n_buckets).alias("b"))
+                .distinct().collect()
+            )
+            recomputed = (
+                table.read(spark, buckets=buckets)
+                .join(affected, "conv_id", "semi")
+                .groupBy("conv_id").agg(*aggs)
+            )
+            merged = (
+                self.read(spark).join(affected, "conv_id", "left_anti")
+                .unionByName(recomputed)
+            )
+            self._commit(merged, target)
+            return {"refreshed": True, "cursor": target,
+                    "mode": "incremental-recompute",
+                    "buckets_scanned": len(buckets)}
         delta = d.groupBy("conv_id").agg(
             F.sum(
                 F.when(F.col("change_type") == "insert", 1)
