@@ -181,6 +181,18 @@ def run_cdc_section(spark, workdir: str) -> dict:
         attempts.append({"apply_sec": round(cdc_sec, 3),
                          "compact_sec": round(compact_sec, 3),
                          "steal_pct": round(steal_pct, 1)})
+        if i == CDC_REPEATS - 1:
+            # predicate DML on the just-built bench-scale table: one
+            # O(live) LWW-resolved scan + O(matched) tombstone/upsert layer
+            t2 = time.time()
+            runner.delete_where("turn_idx % 11 = 5")
+            dml_delete_sec = time.time() - t2
+            t3 = time.time()
+            runner.update_where("role = 'tool'",
+                                {"text": "concat(text, '.')"})
+            dml_update_sec = time.time() - t3
+            print(f"cdc dml: delete={dml_delete_sec:.1f}s "
+                  f"update={dml_update_sec:.1f}s", file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
               f"steal={steal_pct:.1f}%", file=sys.stderr)
@@ -221,6 +233,8 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "attempts": attempts,
         "sustained_sec": min(a["total_sec"] for a in sustained),
         "sustained_attempts": sustained,
+        "dml_delete_sec": round(dml_delete_sec, 3),
+        "dml_update_sec": round(dml_update_sec, 3),
     }
 
 
@@ -272,6 +286,8 @@ def main() -> None:
     shutil.rmtree(workdir, ignore_errors=True)
     queries["cdc_apply_end_to_end"] = round(cdc_sec, 3)
     queries["cdc_compact"] = round(compact_sec, 3)
+    queries["cdc_delete_where"] = cdc["dml_delete_sec"]
+    queries["cdc_update_where"] = cdc["dml_update_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
