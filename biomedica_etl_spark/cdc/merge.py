@@ -1148,14 +1148,34 @@ def delete_where(
         *[F.lit(None).cast(types[c]).alias(c)
           for c in PAYLOAD_COLS if c not in KEY_COLS],
     )
+    return _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
+                      lineage_dir, plan, shuffle_salts, lineage_executor,
+                      max_records_per_file)
+
+
+def _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
+               lineage_dir, plan, shuffle_salts, lineage_executor,
+               max_records_per_file) -> dict[str, Any] | None:
+    """Route a DML change set through the ingest merge path. The MOR apply
+    is a single wide action (metrics observed in-flight), so the O(live)
+    LWW-resolved scan behind ``changes`` runs once; the COW path runs TWO
+    actions (the _plan_cow stats pass, then the merge) — persist the
+    O(matched) change set so the expensive scan is not recomputed."""
     apply_fn = mor_apply_batch if mode == "mor" else merge_batch
-    return apply_fn(
-        spark, table, changes, batch_id,
-        salted=salted, n_salts=n_salts, lineage_dir=lineage_dir,
-        plan=plan, shuffle_salts=shuffle_salts,
-        lineage_executor=lineage_executor,
-        max_records_per_file=max_records_per_file,
-    )
+    persisted = None
+    if mode == "cow":
+        persisted = changes.persist()
+    try:
+        return apply_fn(
+            spark, table, changes, batch_id,
+            salted=salted, n_salts=n_salts, lineage_dir=lineage_dir,
+            plan=plan, shuffle_salts=shuffle_salts,
+            lineage_executor=lineage_executor,
+            max_records_per_file=max_records_per_file,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def update_where(
@@ -1224,11 +1244,6 @@ def update_where(
         *KEY_COLS,
         *[_value(c).alias(c) for c in PAYLOAD_COLS if c not in KEY_COLS],
     )
-    apply_fn = mor_apply_batch if mode == "mor" else merge_batch
-    return apply_fn(
-        spark, table, changes, batch_id,
-        salted=salted, n_salts=n_salts, lineage_dir=lineage_dir,
-        plan=plan, shuffle_salts=shuffle_salts,
-        lineage_executor=lineage_executor,
-        max_records_per_file=max_records_per_file,
-    )
+    return _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
+                      lineage_dir, plan, shuffle_salts, lineage_executor,
+                      max_records_per_file)
