@@ -1141,7 +1141,20 @@ def delete_where(
         default=0,
     )
     types = dict(PAYLOAD_FIELDS)
-    changes = table.read(spark).filter(pred).select(
+    # column pruning: the delete only needs keys out plus whatever the
+    # predicate reads. For a SQL-string predicate, any real column
+    # reference must appear as a word token, so a word-match over the
+    # payload columns safely OVER-approximates (a literal containing a
+    # column name merely reads one extra column); Column predicates fall
+    # back to the full payload. This is what keeps a role-only delete
+    # from scanning the fat text column at 100 TB.
+    columns = None
+    if isinstance(predicate, str):
+        import re
+
+        columns = [c for c in PAYLOAD_COLS if c not in KEY_COLS
+                   and re.search(rf"\b{c}\b", predicate)]
+    changes = table.read(spark, columns=columns).filter(pred).select(
         F.lit(delete_lsn).alias("lsn"),
         F.lit("D").alias("op"),
         *KEY_COLS,

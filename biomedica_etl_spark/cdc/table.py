@@ -348,17 +348,30 @@ class CowTable:
         return spark.read.schema(stored_schema()).parquet(*base_files, *delta_files)
 
     def read_raw(self, spark: SparkSession, buckets: list[int] | None = None,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 columns: list[str] | None = None) -> DataFrame:
         """Resolved stored rows (incl. tombstones + system cols).
 
         COW-only snapshots read the base files directly. When merge-on-read
         delta layers exist, the view is resolved on the fly: base UNION
         deltas, max-_lsn winner per key (groupBy + max_by — partial-agg
         shuffle, same reducer as ingest). Iceberg-v2-MOR semantics without
-        the jar. ``snapshot_id`` time-travels to any retained commit."""
+        the jar. ``snapshot_id`` time-travels to any retained commit.
+
+        ``columns`` prunes the PAYLOAD columns resolved (keys + system
+        cols always ride): the MOR ``max_by`` struct otherwise references
+        every column, which blocks Catalyst's column pruning and forces
+        the scan to read the fat ``text`` column even for a query that
+        only touches ``role`` — with pruning the parquet ReadSchema
+        shrinks to exactly what the caller needs."""
         snap = self._resolve_snapshot(snapshot_id)
         delta_files = self._delta_files_for(snap, buckets) if snap else []
         df = self.read_stored_files(spark, buckets, snapshot_id)
+        if columns is not None:
+            keep = ["conv_id", "turn_idx"] + [
+                c for c in df.columns
+                if c in set(columns) | {SYS_LSN, SYS_DELETED}]
+            df = df.select(*keep)
         if not delta_files:
             return df
         value_cols = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
@@ -370,9 +383,11 @@ class CowTable:
         )
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
-             snapshot_id: int | None = None) -> DataFrame:
-        """Live rows (tombstones filtered, system cols dropped)."""
-        raw = self.read_raw(spark, buckets, snapshot_id)
+             snapshot_id: int | None = None,
+             columns: list[str] | None = None) -> DataFrame:
+        """Live rows (tombstones filtered, system cols dropped).
+        ``columns`` prunes resolved payload columns — see ``read_raw``."""
+        raw = self.read_raw(spark, buckets, snapshot_id, columns=columns)
         return raw.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
 
     # ---- write -------------------------------------------------------

@@ -244,3 +244,21 @@ def test_update_where_exactly_once_and_feed(spark, log_dir, tmp_path):
     feed = runner.table.read_changes_since(spark, pre).collect()
     assert feed and all(not r["_deleted"] for r in feed)
     assert all(r["text"].endswith("!") for r in feed)
+
+
+def test_delete_where_prunes_scan_to_predicate_columns(spark, log_dir, tmp_path):
+    """A role-only delete must not read the fat text column: the pruned
+    LWW read's parquet ReadSchema carries keys + system cols + role only.
+    (Column-object predicates fall back to the full payload — safe, just
+    unpruned.)"""
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    df = runner.table.read(spark, columns=["role"]).filter("role = 'system'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "role" in schema_line
+    for absent in ("text", "tool", "ts:"):
+        assert absent not in schema_line, schema_line
+    # and the pruned delete still matches the unpruned result
+    expected = [r for r in replay(log_dir) if not _matches(r)]
+    runner.delete_where(PRED)  # PRED references turn_idx + role only
+    assert [r.asDict() for r in runner.final_state().collect()] == expected
