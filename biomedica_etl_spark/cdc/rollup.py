@@ -124,8 +124,10 @@ class RollupTable:
         aggs = [F.count(F.lit(1)).alias("n_turns")]
         if self.track_max_ts:
             aggs.append(F.max("ts").alias("max_ts"))
+        cols = ["ts"] if self.track_max_ts else []
         if cur is None:
-            full = table.read(spark).groupBy("conv_id").agg(*aggs)
+            full = (table.read(spark, columns=cols)
+                    .groupBy("conv_id").agg(*aggs))
             self._commit(full, target)
             return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
         d = table.diff(spark, cur, target)
@@ -142,7 +144,9 @@ class RollupTable:
                 .distinct().collect()
             )
             recomputed = (
-                table.read(spark, buckets=buckets)
+                # pruned to the ts column: the count needs no payload and
+                # max(ts) only ts, so the scan never reads text/role/tool
+                table.read(spark, buckets=buckets, columns=cols)
                 .join(affected, "conv_id", "semi")
                 .groupBy("conv_id").agg(*aggs)
             )
