@@ -832,12 +832,16 @@ class CowTable:
         absent. The join is key-equi on the table key (bucket-prunable on
         both sides at scale) and a no-op key never survives the filter.
         """
-        a = self.read_raw(spark, snapshot_id=from_snapshot).select(
+        # columns=[]: the comparison needs keys + system cols only — the
+        # MOR resolve's struct would otherwise force both version scans to
+        # read every payload column (text included) for a diff that never
+        # looks at one
+        a = self.read_raw(spark, snapshot_id=from_snapshot, columns=[]).select(
             "conv_id", "turn_idx",
             F.col(SYS_LSN).alias("old_lsn"),
             (~F.coalesce(F.col(SYS_DELETED), F.lit(False))).alias("a_live"),
         )
-        b = self.read_raw(spark, snapshot_id=to_snapshot).select(
+        b = self.read_raw(spark, snapshot_id=to_snapshot, columns=[]).select(
             "conv_id", "turn_idx",
             F.col(SYS_LSN).alias("new_lsn"),
             (~F.coalesce(F.col(SYS_DELETED), F.lit(False))).alias("b_live"),
