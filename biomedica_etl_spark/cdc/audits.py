@@ -100,7 +100,7 @@ def min_live_rows(minimum: int) -> Audit:
     scan; bound it or prefer metadata gates on very large tables)."""
 
     def gate(spark: SparkSession, table: Any) -> tuple[bool, str]:
-        n = table.read(spark, snapshot_id="staged").count()
+        n = table.read(spark, snapshot_id="staged", columns=[]).count()
         if n < minimum:
             return False, f"staged live rows {n} < required minimum {minimum}"
         return True, ""

@@ -220,7 +220,7 @@ sec, events, runner = bench.run_cdc_apply(
     spark, workdir, events=EVENTS, batches=BATCHES, compact_every=1_000_000_000
 )
 rate = events / sec
-live = runner.table.read(spark).count()
+live = runner.table.read(spark, columns=[]).count()
 t0 = time.time()
 from biomedica_etl_spark.cdc.merge import compact  # noqa: E402
 
