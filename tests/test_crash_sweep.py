@@ -61,7 +61,15 @@ CONFIGS = {
     # in-flight staged layers that resume must ignore (no fold commits:
     # default compact_every is above the batch count)
     "mor_pipelined": dict(mode="mor", pipeline_depth=2),
+    # predicate DML after the apply loop: the delete's commit_delta atomic
+    # writes join the sweep window, so crashes straddling the DML commit
+    # are enumerated too; the fixed batch_id fences the resumed delete
+    # exactly like an ingest batch
+    "mor_dml": dict(mode="mor", dml=True),
 }
+
+DML_BATCH_ID = 9_700_001
+DML_PRED = "turn_idx % 3 = 0"
 
 
 class SimulatedCrash(RuntimeError):
@@ -122,8 +130,12 @@ def _crashing_write(counter, crash_at):
 
 
 def _run_to_completion(spark, log, root, kw):
+    kw = dict(kw)
+    dml = kw.pop("dml", False)
     runner = CdcRunner(spark, log, str(root), n_buckets=4, **kw)
     runner.run()
+    if dml:
+        runner.delete_where(DML_PRED, batch_id=DML_BATCH_ID)
     return runner
 
 
@@ -134,6 +146,8 @@ def test_crash_before_every_atomic_write_resumes_exactly_once(
     log = str(tmp_path / "log")
     generate_change_log(log, CFG)
     expected = replay(log)
+    if kw.get("dml"):
+        expected = [r for r in expected if r["turn_idx"] % 3 != 0]
 
     # baseline: count the atomic writes in a clean run (deterministic —
     # same log, same code path, synchronous maintenance)
@@ -165,7 +179,11 @@ def test_crash_before_every_atomic_write_resumes_exactly_once(
             f"{name}: batch committed twice after crash at k={k}")
 
         # a further cold rerun applies nothing (fencing fully engaged)
-        again = CdcRunner(spark, log, str(root), n_buckets=4, **kw)
+        again = CdcRunner(spark, log, str(root), n_buckets=4,
+                          **{k2: v for k2, v in kw.items() if k2 != "dml"})
         res = again.run()
         assert res.batches_applied == [], (
             f"{name}: rerun re-applied batches after crash at k={k}")
+        if kw.get("dml"):
+            # the DML batch is fenced exactly like an ingest batch
+            assert again.delete_where(DML_PRED, batch_id=DML_BATCH_ID) is None
