@@ -261,15 +261,50 @@ class CowTableReader(DataSourceReader):
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap is not None else None
         self.tombstones = options.get("tombstones", "false").lower() == "true"
+        self._conv_filter: set | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Hidden-partition pruning through the Python DataSource filter
+        API (Spark 4.1): an ``EqualTo``/``In`` on ``conv_id`` restricts
+        ``partitions()`` to the matching buckets, computed driver-side
+        with the pure-Python ``xxh64`` twin pinned bit-identical to
+        ``F.xxhash64`` — the same pruning ``read_conversation`` does, now
+        reachable from plain ``df.filter(col("conv_id") == ...)`` on the
+        native source. Every filter is RETURNED for Spark to re-evaluate
+        (a bucket holds many conversations — pruning only narrows the
+        scan, it never subsumes the predicate). Non-string or unexpected
+        values skip pruning rather than risk dropping a bucket."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        convs: set | None = None
+        for f in filters:
+            vals = None
+            if isinstance(f, EqualTo) and f.attribute == ("conv_id",):
+                vals = {f.value}
+            elif isinstance(f, In) and f.attribute == ("conv_id",):
+                vals = set(f.value)
+            if vals is not None:
+                convs = vals if convs is None else convs & vals
+        if convs is not None and all(isinstance(v, str) for v in convs):
+            self._conv_filter = convs
+        return filters
 
     def partitions(self) -> list[_BucketFiles]:
         table = CowTable(self.root)
         snap = table._resolve_snapshot(self.snapshot_id)
         if snap is None:
             return [_BucketFiles(0, [])]
+        allowed: set[int] | None = None
+        if self._conv_filter is not None:
+            from biomedica_etl_spark.cdc.xxhash import bucket_of
+
+            allowed = {bucket_of(c, snap["n_buckets"])
+                       for c in self._conv_filter}
         per_bucket: dict[int, list[str]] = {}
         for key in ("bucket_dirs", "delta_dirs"):
             for b, d in snap.get(key, {}).items():
+                if allowed is not None and int(b) not in allowed:
+                    continue
                 dirs = d if isinstance(d, list) else [d]
                 for one in dirs:
                     per_bucket.setdefault(int(b), []).extend(sorted(
@@ -727,5 +762,9 @@ class ChangesStreamReader(DataSourceStreamReader):
 
 def register_data_sources(spark) -> None:
     """Idempotently register both formats on a session."""
+    # the reader implements pushFilters (hidden-bucket pruning from
+    # conv_id predicates); Spark refuses to plan a pushdown-capable
+    # Python source unless this flag is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CowTableDataSource)
     spark.dataSource.register(CowTableChangesDataSource)

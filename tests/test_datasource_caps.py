@@ -166,3 +166,53 @@ def test_read_stored_arrow_pads_pre_evolution_columns(tmp_path):
     assert got.schema.equals(target)
     assert got.column("tool").null_count == 2
     assert got.column("text").to_pylist() == ["hi", "yo"]
+
+
+def test_reader_pushdown_prunes_buckets(spark, tmp_path):
+    """Spark 4.1 DataSource filter pushdown: an EqualTo/In on conv_id
+    restricts the planned partitions to the matching buckets (same
+    python-xxh64 pruning read_conversation uses), while every filter is
+    returned for Spark to re-evaluate — results stay equal to the
+    unfiltered read filtered in-plan."""
+    from pyspark.sql.datasource import EqualTo, In, GreaterThan
+
+    from biomedica_etl_spark.cdc.generator import (GeneratorConfig,
+                                                   generate_change_log)
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.xxhash import bucket_of
+    from biomedica_etl_spark.sources.datasource import (CowTableReader,
+                                                        register_data_sources)
+
+    register_data_sources(spark)
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, GeneratorConfig(
+        n_events=2_000, batch_size=500, n_convs=40))
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor")
+    runner.run()
+    some = [r["conv_id"] for r in
+            runner.table.read(spark).select("conv_id").distinct()
+            .orderBy("conv_id").limit(3).collect()]
+
+    # planning-level pin: partitions shrink to exactly the target buckets
+    reader = CowTableReader({"root": str(tmp_path / "t")})
+    flt = [EqualTo(("conv_id",), some[0]), GreaterThan(("turn_idx",), 0)]
+    assert list(reader.pushFilters(flt)) == flt  # all returned to Spark
+    parts = reader.partitions()
+    assert {p.bucket for p in parts} == {bucket_of(some[0], 8)}
+
+    reader_in = CowTableReader({"root": str(tmp_path / "t")})
+    reader_in.pushFilters([In(("conv_id",), tuple(some))])
+    assert ({p.bucket for p in reader_in.partitions()}
+            == {bucket_of(c, 8) for c in some})
+
+    # end-to-end equality through the real planner
+    df = (spark.read.format("cowtable").option("root", str(tmp_path / "t"))
+          .load())
+    got = sorted((r["conv_id"], r["turn_idx"])
+                 for r in df.filter(df.conv_id == some[0]).collect())
+    want = sorted((r["conv_id"], r["turn_idx"])
+                  for r in runner.table.read(spark)
+                  .filter(f"conv_id = '{some[0]}'").collect())
+    assert got == want and got
