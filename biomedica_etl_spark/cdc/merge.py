@@ -578,14 +578,27 @@ def compact(
     optimistic-concurrency race retries the METADATA only — the staged
     fold output stays valid against any newer parent."""
     snap = table.current_snapshot()
-    if not snap or not snap.get("delta_dirs"):
+    if not snap:
         return None
-    layered = sorted(int(b) for b in snap["delta_dirs"])
-    buckets = layered if buckets is None else sorted(
-        set(buckets) & set(layered))
+    if purge_tombstones_below is None:
+        if not snap.get("delta_dirs"):
+            return None
+        candidates = sorted(int(b) for b in snap["delta_dirs"])
+    else:
+        # a purging compact must also rewrite LAYER-LESS buckets: after a
+        # COW delete_where the tombstones live in the base with zero delta
+        # layers, and the layers-only candidate set would silently no-op
+        # the advertised erase chain
+        candidates = sorted({int(b) for b in snap.get("bucket_dirs", {})}
+                            | {int(b) for b in snap.get("delta_dirs", {})})
+        if not candidates:
+            return None
+    buckets = candidates if buckets is None else sorted(
+        set(buckets) & set(candidates))
     if not buckets:
         return None
-    folded = {b: list(snap["delta_dirs"][str(b)]) for b in buckets}
+    folded = {b: list(snap.get("delta_dirs", {}).get(str(b), []))
+              for b in buckets}
     # pin the fold's read set to the planned snapshot: a concurrent apply
     # committing between plan and read must not smuggle unfolded rows into
     # a base that the commit would then claim covers them
@@ -1121,7 +1134,10 @@ def delete_where(
       remain as tombstones so a straggling out-of-order upsert with a
       lower LSN still loses.
     - exactly-once: pass a stable ``batch_id`` and retries fence exactly
-      like ingest batches; the default ``None`` skips fencing (ad-hoc
+      like ingest batches — the fencing NAMESPACE IS SHARED with ingest
+      batch ids, so pick DML ids well outside the log's range (e.g.
+      9_000_000+); an id an ingest batch already used fences the DML
+      into a silent no-op. The default ``None`` skips fencing (ad-hoc
       maintenance).
     - lineage: per-bucket rows via ``lineage_dir``, same as ingest.
 
@@ -1152,8 +1168,11 @@ def delete_where(
     if isinstance(predicate, str):
         import re
 
+        # IGNORECASE: Spark resolves identifiers case-insensitively, so
+        # "ROLE = 'x'" is a valid reference to role — a case-sensitive
+        # match would under-approximate and prune a referenced column
         columns = [c for c in PAYLOAD_COLS if c not in KEY_COLS
-                   and re.search(rf"\b{c}\b", predicate)]
+                   and re.search(rf"\b{c}\b", predicate, re.IGNORECASE)]
     changes = table.read(spark, columns=columns).filter(pred).select(
         F.lit(delete_lsn).alias("lsn"),
         F.lit("D").alias("op"),
@@ -1236,6 +1255,14 @@ def update_where(
     unknown = set(assignments) - set(PAYLOAD_COLS)
     if unknown:
         raise ValueError(f"unknown columns {sorted(unknown)}")
+    nones = sorted(c for c, v in assignments.items() if v is None)
+    if nones:
+        # a python None is ambiguous (carry through? set NULL?) and
+        # _value() would silently carry the old value — make the intent
+        # explicit instead of no-opping
+        raise ValueError(
+            f"assignment value for {nones} is None; to set a column to "
+            "NULL use a SQL null expr, e.g. \"cast(null as string)\"")
     if batch_id is not None and table.is_committed(batch_id):
         return None
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate

@@ -126,7 +126,9 @@ class RollupTable:
             aggs.append(F.max("ts").alias("max_ts"))
         cols = ["ts"] if self.track_max_ts else []
         if cur is None:
-            full = (table.read(spark, columns=cols)
+            # pinned to target: a commit landing mid-bootstrap must not
+            # leak rows beyond the cursor being recorded
+            full = (table.read(spark, snapshot_id=target, columns=cols)
                     .groupBy("conv_id").agg(*aggs))
             self._commit(full, target)
             return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
@@ -137,24 +139,34 @@ class RollupTable:
             # the groups by semi-join; unaffected rows carry forward
             from .table import bucket_expr
 
-            affected = d.select("conv_id").distinct()
-            buckets = sorted(
-                r["b"] for r in affected.select(
-                    bucket_expr("conv_id", table.n_buckets).alias("b"))
-                .distinct().collect()
-            )
-            recomputed = (
-                # pruned to the ts column: the count needs no payload and
-                # max(ts) only ts, so the scan never reads text/role/tool
-                table.read(spark, buckets=buckets, columns=cols)
-                .join(affected, "conv_id", "semi")
-                .groupBy("conv_id").agg(*aggs)
-            )
-            merged = (
-                self.read(spark).join(affected, "conv_id", "left_anti")
-                .unionByName(recomputed)
-            )
-            self._commit(merged, target)
+            # persist: the diff behind `affected` scans two table versions
+            # and feeds three separate actions (the bucket collect, the
+            # semi-join, the anti-join) — without the persist each one
+            # re-runs both version scans
+            affected = d.select("conv_id").distinct().persist()
+            try:
+                buckets = sorted(
+                    r["b"] for r in affected.select(
+                        bucket_expr("conv_id", table.n_buckets).alias("b"))
+                    .distinct().collect()
+                )
+                recomputed = (
+                    # pruned to the ts column (count needs no payload) AND
+                    # pinned to the target snapshot: under concurrent
+                    # ingest an unpinned read would leak post-target rows
+                    # into the state committed for cursor=target
+                    table.read(spark, buckets=buckets, snapshot_id=target,
+                               columns=cols)
+                    .join(affected, "conv_id", "semi")
+                    .groupBy("conv_id").agg(*aggs)
+                )
+                merged = (
+                    self.read(spark).join(affected, "conv_id", "left_anti")
+                    .unionByName(recomputed)
+                )
+                self._commit(merged, target)
+            finally:
+                affected.unpersist()
             return {"refreshed": True, "cursor": target,
                     "mode": "incremental-recompute",
                     "buckets_scanned": len(buckets)}

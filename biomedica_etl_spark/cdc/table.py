@@ -368,9 +368,13 @@ class CowTable:
         delta_files = self._delta_files_for(snap, buckets) if snap else []
         df = self.read_stored_files(spark, buckets, snapshot_id)
         if columns is not None:
+            # keys ride up front exactly once even when the caller lists
+            # them in columns (a duplicate would make every downstream
+            # reference AMBIGUOUS_REFERENCE)
+            wanted = (set(columns) | {SYS_LSN, SYS_DELETED}) - {
+                "conv_id", "turn_idx"}
             keep = ["conv_id", "turn_idx"] + [
-                c for c in df.columns
-                if c in set(columns) | {SYS_LSN, SYS_DELETED}]
+                c for c in df.columns if c in wanted]
             df = df.select(*keep)
         if not delta_files:
             return df

@@ -761,10 +761,16 @@ class ChangesStreamReader(DataSourceStreamReader):
 
 
 def register_data_sources(spark) -> None:
-    """Idempotently register both formats on a session."""
-    # the reader implements pushFilters (hidden-bucket pruning from
-    # conv_id predicates); Spark refuses to plan a pushdown-capable
-    # Python source unless this flag is on
+    """Idempotently register both formats on a session.
+
+    Side effect: enables ``spark.sql.python.filterPushdown.enabled`` for
+    the SESSION. This is a REQUIREMENT, not an optimization toggle:
+    ``CowTableReader`` implements ``pushFilters`` (hidden-bucket pruning)
+    and Spark refuses to plan any pushdown-capable Python source while
+    the flag is off — a session that needs it off for another source
+    cannot read cowtable at all. The flag changes planning for every
+    Python data source in the session, so it is set here, at the one
+    entry point that opts the session into these sources."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CowTableDataSource)
     spark.dataSource.register(CowTableChangesDataSource)

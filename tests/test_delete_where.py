@@ -262,3 +262,29 @@ def test_delete_where_prunes_scan_to_predicate_columns(spark, log_dir, tmp_path)
     expected = [r for r in replay(log_dir) if not _matches(r)]
     runner.delete_where(PRED)  # PRED references turn_idx + role only
     assert [r.asDict() for r in runner.final_state().collect()] == expected
+
+
+def test_delete_where_predicate_case_insensitive(spark, log_dir, tmp_path):
+    """Spark resolves identifiers case-insensitively; the prune inference
+    must not drop a column referenced in a different case."""
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    expected = [r for r in replay(log_dir) if r["role"] != "system"]
+    runner.delete_where("ROLE = 'system'")
+    assert [r.asDict() for r in runner.final_state().collect()] == expected
+
+
+def test_read_columns_including_keys_not_duplicated(spark, log_dir, tmp_path):
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    df = runner.table.read(spark, columns=["conv_id", "ts"])
+    assert df.columns == ["conv_id", "turn_idx", "ts"]
+    assert df.count() == len(replay(log_dir))
+
+
+def test_update_where_rejects_none_assignment(spark, log_dir, tmp_path):
+    runner = _build(spark, log_dir, str(tmp_path / "t"), "mor")
+    with pytest.raises(ValueError, match="cast\\(null"):
+        runner.update_where("role = 'tool'", {"tool": None})
+    # the explicit SQL-null spelling works
+    runner.update_where("role = 'tool'", {"tool": "cast(null as string)"})
+    live = runner.table.read(spark).filter("role = 'tool'").collect()
+    assert live and all(r["tool"] is None for r in live)

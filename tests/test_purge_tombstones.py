@@ -137,3 +137,28 @@ def test_post_purge_merges_unchanged_for_in_contract_events(spark, log_dir, tmp_
     assert a == b
     assert any(x["conv_id"] == key[0] and x["turn_idx"] == key[1]
                and x["text"] == "back" for x in a)
+
+
+def test_purging_compact_works_on_layerless_cow_table(spark, log_dir, tmp_path):
+    """The advertised COW erase chain: a COW delete_where leaves
+    payload-null tombstones in the base with ZERO delta layers; the
+    purging compact must still rewrite those buckets (a layers-only
+    candidate set would silently no-op)."""
+    root = str(tmp_path / "t")
+    runner = CdcRunner(spark, log_dir, root, n_buckets=8, mode="cow")
+    runner.run()
+    snap = runner.delete_where(PRED)
+    assert not runner.table.current_snapshot().get("delta_dirs")  # layer-less
+
+    before = [r.asDict() for r in runner.final_state().collect()]
+    csnap = compact(spark, runner.table,
+                    purge_tombstones_below=snap["lsn_hi"] + 1)
+    assert csnap is not None, "purging compact no-opped on a COW table"
+    assert csnap["summary"]["tombstones_purged"] >= len(_deleted_keys(log_dir))
+    assert [r.asDict() for r in runner.final_state().collect()] == before
+
+    runner.table.expire_snapshots(keep_last=1)
+    runner.table.remove_orphaned_files(grace_seconds=0.0)
+    gone = _deleted_keys(log_dir)
+    for row in _all_stored_rows(root):
+        assert (row["conv_id"], int(row["turn_idx"])) not in gone, row
