@@ -181,6 +181,49 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (TimescaleDB-rollup-style) as a query: build
+    the table from the deterministic log, refresh the incrementally-
+    maintained per-conversation rollup MID-STREAM (so the refresh at head
+    exercises the incremental path, not just bootstrap), return the view.
+    Oracle: a from-scratch GROUP BY over the LWW winners."""
+    from biomedica_etl_spark.cdc.rollup import RollupTable
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-rollup-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    roll = RollupTable(os.path.join(work, "rollup"), track_max_ts=True)
+    runner.run(max_batches=2)
+    roll.refresh(spark, runner.table)   # bootstrap at batch 2
+    runner.run()
+    roll.refresh(spark, runner.table)   # incremental affected-group recompute
+    return roll.read(spark).orderBy("conv_id")
+
+
+def _cdc_rollup_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, count(*) AS n_turns, max(ts) AS max_ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 def _cdc_oracle_sql() -> str:
     """DuckDB twin of the engine's end state: schema-tolerant union of every
     batch file (epoch 0/1 lack ``tool``; ``turn_idx`` widens int32->int64 at
@@ -219,6 +262,7 @@ _PRIORITY_ORDER = (
     "cdc_apply_end_to_end",
     "cdc_delete_where",
     "cdc_update_where",
+    "cdc_rollup_counts",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -276,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_apply_end_to_end"] = _cdc_apply_end_to_end
     out["cdc_delete_where"] = _cdc_delete_where
     out["cdc_update_where"] = _cdc_update_where
+    out["cdc_rollup_counts"] = _cdc_rollup_counts
     return _reorder(out)
 
 
@@ -288,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
     out["cdc_delete_where"] = _cdc_delete_where_oracle_sql()
     out["cdc_update_where"] = _cdc_update_where_oracle_sql()
+    out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
     return _reorder(out)
