@@ -399,6 +399,7 @@ def mor_stage_batch(
     shuffle_salts: int = 4,
     quarantine_dir: str | None = None,
     max_records_per_file: int = 0,
+    pre_reduced: bool = False,
 ) -> dict[str, Any] | None:
     """Spark-side half of a MOR apply: LWW-reduce the batch and write the
     delta layer to an UNCOMMITTED staging dir. Returns the staging record
@@ -419,8 +420,19 @@ def mor_stage_batch(
     # metrics observe the RAW stream (so quarantined events are counted and
     # the consumed lsn range is complete); the merge consumes valid rows only
     observed = bucketed.observe(obs, *_raw_metric_aggs())
-    delta = _reduce(observed.filter(_valid_pred()), n_buckets, plan, salted,
-                    n_salts, shuffle_salts)
+    if pre_reduced:
+        # caller guarantees one row per key (the DML planners derive their
+        # change sets from the RESOLVED live view, so keys are unique by
+        # construction): the LWW reduce would be an identity sort-aggregate
+        # over millions of full-payload rows — replace it with the one
+        # hash exchange the bucket-partitioned write needs, salt-spread so
+        # a hot bucket still writes on shuffle_salts tasks
+        delta = observed.filter(_valid_pred()).repartition(
+            F.col(BUCKET_COL),
+            F.pmod(F.xxhash64("conv_id"), F.lit(max(shuffle_salts, 1))))
+    else:
+        delta = _reduce(observed.filter(_valid_pred()), n_buckets, plan,
+                        salted, n_salts, shuffle_salts)
     stage = table.new_data_dir()
     _stage_writer(_to_stored(delta), max_records_per_file).parquet(stage)
     try:
@@ -513,6 +525,7 @@ def mor_apply_batch(
     quarantine_dir: str | None = None,
     max_records_per_file: int = 0,
     wap: bool = False,
+    pre_reduced: bool = False,
 ) -> dict[str, Any] | None:
     """Merge-on-read apply: write the LWW-reduced delta as a new layer.
 
@@ -527,7 +540,8 @@ def mor_apply_batch(
                              n_salts=n_salts, plan=plan,
                              shuffle_salts=shuffle_salts,
                              quarantine_dir=quarantine_dir,
-                             max_records_per_file=max_records_per_file)
+                             max_records_per_file=max_records_per_file,
+                             pre_reduced=pre_reduced)
     if staged is None:
         return None
     return mor_commit_staged(spark, table, staged, lineage_dir=lineage_dir,
@@ -1193,10 +1207,18 @@ def _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
     LWW-resolved scan behind ``changes`` runs once; the COW path runs TWO
     actions (the _plan_cow stats pass, then the merge) — persist the
     O(matched) change set so the expensive scan is not recomputed."""
-    apply_fn = mor_apply_batch if mode == "mor" else merge_batch
     persisted = None
+    extra: dict[str, Any] = {}
     if mode == "cow":
+        apply_fn = merge_batch
         persisted = changes.persist()
+    else:
+        apply_fn = mor_apply_batch
+        # DML change sets have one row per key by construction (derived
+        # from the resolved live view), so the MOR apply can skip the
+        # identity LWW sort-aggregate and go straight to the bucket
+        # exchange the partitioned write needs
+        extra["pre_reduced"] = True
     try:
         return apply_fn(
             spark, table, changes, batch_id,
@@ -1204,6 +1226,7 @@ def _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
             plan=plan, shuffle_salts=shuffle_salts,
             lineage_executor=lineage_executor,
             max_records_per_file=max_records_per_file,
+            **extra,
         )
     finally:
         if persisted is not None:
