@@ -181,6 +181,85 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (conditional upsert) as an engine commit: build the table
+    from the deterministic log, then merge a source exercising all three
+    clauses — matched+delete (role='system' rows at turn_idx%5==1),
+    matched+update (text suffixed on the rest of turn_idx%5==1), and
+    not-matched insert (a fresh tail turn for conversations whose max
+    turn_idx is even). The target read is bucket-pruned to the source's
+    keys; all rows commit at one fresh LSN through the ingest merge path.
+    Oracle: the LWW replay with the same three transformations in SQL."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-merge-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run()
+    live = runner.table.read(spark)
+    upd = live.filter(F.col("turn_idx") % 5 == 1).select(
+        "conv_id", "turn_idx", "role",
+        F.concat(F.col("text"), F.lit("~m")).alias("text"),
+        "tool", "ts",
+        F.when(F.col("role") == "system", "D").otherwise("U").alias("op"))
+    ins = (live.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"))
+           .filter(F.col("mx") % 2 == 0)
+           .select("conv_id", (F.col("mx") + 100).alias("turn_idx"),
+                   F.lit("merge").alias("role"),
+                   F.lit("inserted-row").alias("text"),
+                   F.lit(None).cast("string").alias("tool"),
+                   F.lit(None).cast("timestamp").alias("ts"),
+                   F.lit("I").alias("op")))
+    runner.merge_into(upd.unionByName(ins), matched_update="source",
+                      matched_delete_condition="s.op = 'D'")
+    return runner.final_state()
+
+
+def _cdc_merge_into_oracle_sql() -> str:
+    """The CDC replay oracle with the MERGE's three clauses applied: delete
+    system rows at turn_idx%5==1, suffix the rest of that stripe, append
+    one 'merge' turn per conversation whose max live turn_idx is even.
+    role is non-null on live winners (only tombstones null it), so the
+    role='system' comparison never goes three-valued."""
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+),
+live AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+merged AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN turn_idx % 5 = 1 THEN text || '~m' ELSE text END AS text,
+         tool, ts
+  FROM live
+  WHERE NOT (turn_idx % 5 = 1 AND role = 'system')
+  UNION ALL
+  SELECT conv_id, max(turn_idx) + 100 AS turn_idx, 'merge' AS role,
+         'inserted-row' AS text, CAST(NULL AS VARCHAR) AS tool,
+         CAST(NULL AS TIMESTAMP) AS ts
+  FROM live GROUP BY conv_id HAVING max(turn_idx) % 2 = 0
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM merged
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (TimescaleDB-rollup-style) as a query: build
     the table from the deterministic log, refresh the incrementally-
@@ -262,6 +341,7 @@ _PRIORITY_ORDER = (
     "cdc_apply_end_to_end",
     "cdc_delete_where",
     "cdc_update_where",
+    "cdc_merge_into",
     "cdc_rollup_counts",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
@@ -320,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_apply_end_to_end"] = _cdc_apply_end_to_end
     out["cdc_delete_where"] = _cdc_delete_where
     out["cdc_update_where"] = _cdc_update_where
+    out["cdc_merge_into"] = _cdc_merge_into
     out["cdc_rollup_counts"] = _cdc_rollup_counts
     return _reorder(out)
 
@@ -333,5 +414,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_apply_end_to_end"] = _cdc_oracle_sql()
     out["cdc_delete_where"] = _cdc_delete_where_oracle_sql()
     out["cdc_update_where"] = _cdc_update_where_oracle_sql()
+    out["cdc_merge_into"] = _cdc_merge_into_oracle_sql()
     out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
     return _reorder(out)

@@ -1310,3 +1310,222 @@ def update_where(
     return _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
                       lineage_dir, plan, shuffle_salts, lineage_executor,
                       max_records_per_file)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: CowTable,
+    source: DataFrame,
+    matched_update: dict[str, Any] | str | None = "source",
+    matched_update_condition: Any | None = None,
+    matched_delete_condition: Any | None = None,
+    insert_unmatched: bool = True,
+    insert_condition: Any | None = None,
+    mode: str = "mor",
+    batch_id: int | None = None,
+    lineage_dir: str | None = None,
+    lineage_executor: Any = None,
+    salted: bool = False,
+    n_salts: int = 8,
+    plan: str = "aligned",
+    shuffle_salts: int = 4,
+    max_records_per_file: int = 0,
+    prune_buckets: bool = True,
+) -> dict[str, Any] | None:
+    """``MERGE INTO`` — conditional upsert from a source DataFrame as ONE
+    commit, completing the engine's DML triad (``delete_where`` /
+    ``update_where`` / ``merge_into``).
+
+    Reference analogue: the Entrez backfill joins fetched metadata onto
+    already-written records and re-writes the matched ones while leaving
+    the rest intact (``scripts/05_json_to_entrez.py:324-330``); the
+    reference expresses that as a full rebuild — here it is the standard
+    lakehouse MERGE (Delta/Iceberg ``MERGE INTO``) riding the engine's own
+    merge machinery.
+
+    Clause semantics (Delta-style, evaluated per source row against the
+    LWW-resolved LIVE target row with the same key):
+
+    - matched and ``matched_delete_condition`` holds -> tombstone
+      (``op='D'``). Evaluated FIRST among the matched clauses.
+    - matched and ``matched_update`` given and
+      ``matched_update_condition`` holds -> full-row ``op='U'``:
+      ``matched_update="source"`` takes every payload column the source
+      carries and keeps the target's value for columns the source lacks;
+      a dict maps payload columns to expressions over the joined
+      namespace (qualify with ``s.``/``t.`` — e.g.
+      ``{"text": "concat(t.text, s.suffix)"}``), unassigned columns carry
+      the target's value. Key columns cannot be assigned.
+    - not matched and ``insert_unmatched`` and ``insert_condition`` holds
+      -> ``op='I'`` with the source's payload columns (missing ones become
+      typed NULLs).
+    - every other row produces nothing.
+
+    Conditions are Columns or SQL strings over the aliased join
+    (``s.<col>`` = source, ``t.<col>`` = target); ``None`` means
+    unconditional. Extra non-payload source columns (e.g. a CDC ``op``
+    flag) are visible to conditions/assignments and dropped from the
+    output, so ``merge_into(src, matched_delete_condition="s.op = 'D'",
+    insert_condition="s.op <> 'D'")`` is the classic CDC-batch MERGE.
+
+    Plan, and why it scales:
+
+    - the source must have AT MOST ONE row per key (Delta raises the same
+      way — two matched source rows would make the result order-dependent);
+      checked with one O(source) aggregate before any write.
+    - ``prune_buckets`` (default): the target read is restricted to the
+      buckets the source's keys hash into — a driver-side collect of at
+      most ``n_buckets`` ints — so merging a small change set against a
+      10^10-row table reads only the touched buckets' files, not the
+      table. A key can only match inside its own bucket, so the prune is
+      exact for matched AND not-matched detection.
+    - the join is a key-equi left-outer from source to the resolved live
+      view; AQE broadcast-joins a small source. With no matched clauses
+      at all the join degrades to a LEFT ANTI (insert-only append-if-
+      absent) and never materializes target payloads.
+    - all produced rows share a fresh LSN strictly above every committed
+      ``lsn_hi`` (driver-side metadata max), so merge results win LWW
+      against every existing version and straggling lower-LSN upserts
+      still lose afterward; one row per key means the MOR apply skips the
+      identity LWW reduce (``pre_reduced``) exactly like the other DML.
+    - MOR appends an O(changed) delta layer (change-feed visible: deletes
+      as tombstones, updates/inserts as upserts); COW rewrites only the
+      affected buckets; a stable ``batch_id`` fences retries exactly-once
+      in the shared ingest namespace.
+
+    Returns the committed snapshot dict, ``None`` on a fenced
+    ``batch_id``, and raises ``ValueError`` on duplicate source keys, key
+    assignments, unknown assignment columns, or no active clause.
+    """
+    from .schema import PAYLOAD_FIELDS
+
+    types = dict(PAYLOAD_FIELDS)
+    missing = [k for k in KEY_COLS if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key columns {missing}")
+    if isinstance(matched_update, str) and matched_update != "source":
+        raise ValueError(
+            f"matched_update must be 'source', a dict, or None; "
+            f"got {matched_update!r}")
+    if isinstance(matched_update, dict):
+        bad = set(matched_update) & set(KEY_COLS)
+        if bad:
+            raise ValueError(f"cannot assign key columns {sorted(bad)}; "
+                             "a key change is a delete + insert")
+        unknown = set(matched_update) - set(PAYLOAD_COLS)
+        if unknown:
+            raise ValueError(f"unknown columns {sorted(unknown)}")
+        nones = sorted(c for c, v in matched_update.items() if v is None)
+        if nones:
+            raise ValueError(
+                f"assignment value for {nones} is None; to set a column to "
+                "NULL use a SQL null expr, e.g. \"cast(null as string)\"")
+    has_update = matched_update is not None
+    has_delete = matched_delete_condition is not None
+    if not (has_update or has_delete or insert_unmatched):
+        raise ValueError("merge_into with no active clause does nothing")
+    if batch_id is not None and table.is_committed(batch_id):
+        return None
+
+    def _cond(c: Any):
+        if c is None:
+            return F.lit(True)
+        e = F.expr(c) if isinstance(c, str) else c
+        # three-valued logic: a condition evaluating to NULL must mean
+        # "clause does not fire", not poison ~is_delete in the update branch
+        return F.coalesce(e.cast("boolean"), F.lit(False))
+
+    merge_lsn = 1 + max(
+        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
+        default=0,
+    )
+    src_payload = [c for c in PAYLOAD_COLS
+                   if c not in KEY_COLS and c in source.columns]
+    extra_cols = [c for c in source.columns
+                  if c not in KEY_COLS and c not in src_payload]
+    src = source.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in KEY_COLS],
+        *[F.col(c).cast(types[c]).alias(c) for c in src_payload],
+        *extra_cols,
+    ).persist()
+    try:
+        if not src.groupBy(*KEY_COLS).count().filter("count > 1").isEmpty():
+            raise ValueError(
+                "source has multiple rows for the same key; MERGE requires "
+                "at most one source row per key (pre-aggregate the source, "
+                "e.g. with the max-lsn reducer)")
+        buckets = None
+        if prune_buckets:
+            buckets = sorted(
+                r["b"] for r in src.select(
+                    bucket_expr(KEY_COLS[0], table.n_buckets).alias("b")
+                ).distinct().collect())
+
+        if not (has_update or has_delete):
+            # insert-only: append-if-absent — LEFT ANTI against the live
+            # keys, never materializes target payload columns
+            tgt_keys = table.read(spark, buckets=buckets, columns=[])
+            changes = (
+                src.alias("s")
+                .join(tgt_keys.alias("t"), on=KEY_COLS, how="left_anti")
+                .filter(_cond(insert_condition))
+                .select(
+                    F.lit(merge_lsn).alias("lsn"),
+                    F.lit("I").alias("op"),
+                    *KEY_COLS,
+                    *[(F.col(c) if c in src_payload
+                       else F.lit(None)).cast(types[c]).alias(c)
+                      for c in PAYLOAD_COLS if c not in KEY_COLS],
+                )
+            )
+            return _apply_dml(spark, table, changes, mode, batch_id, salted,
+                              n_salts, lineage_dir, plan, shuffle_salts,
+                              lineage_executor, max_records_per_file)
+
+        tgt = table.read(spark, buckets=buckets)
+        joined = src.alias("s").join(
+            tgt.alias("t"),
+            on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in KEY_COLS],
+            how="left_outer",
+        )
+        # conv_id is non-null on every live target row (the validity gate
+        # drops null keys at ingest), so it doubles as the match marker
+        matched = F.col(f"t.{KEY_COLS[0]}").isNotNull()
+        is_delete = (matched & _cond(matched_delete_condition)
+                     if has_delete else F.lit(False))
+        is_update = (matched & ~is_delete & _cond(matched_update_condition)
+                     if has_update else F.lit(False))
+        is_insert = (~matched & _cond(insert_condition)
+                     if insert_unmatched else F.lit(False))
+
+        def _payload(c: str):
+            t_col = F.col(f"t.{c}")
+            s_col = F.col(f"s.{c}") if c in src_payload else None
+            if matched_update == "source":
+                upd = s_col if s_col is not None else t_col
+            elif isinstance(matched_update, dict) and c in matched_update:
+                v = matched_update[c]
+                upd = F.expr(v) if isinstance(v, str) else v
+            else:
+                upd = t_col
+            ins = s_col if s_col is not None else F.lit(None)
+            return (
+                F.when(is_delete, F.lit(None))
+                .when(is_update, upd)
+                .otherwise(ins)
+                .cast(types[c]).alias(c)
+            )
+
+        changes = joined.filter(is_delete | is_update | is_insert).select(
+            F.lit(merge_lsn).alias("lsn"),
+            F.when(is_delete, F.lit("D"))
+             .when(is_update, F.lit("U"))
+             .otherwise(F.lit("I")).alias("op"),
+            *[F.col(f"s.{k}").alias(k) for k in KEY_COLS],
+            *[_payload(c) for c in PAYLOAD_COLS if c not in KEY_COLS],
+        )
+        return _apply_dml(spark, table, changes, mode, batch_id, salted,
+                          n_salts, lineage_dir, plan, shuffle_salts,
+                          lineage_executor, max_records_per_file)
+    finally:
+        src.unpersist()

@@ -580,6 +580,35 @@ class CdcRunner:
             max_records_per_file=self.max_records_per_file,
         ))
 
+    def merge_into(self, source: DataFrame,
+                   matched_update: dict[str, Any] | str | None = "source",
+                   matched_update_condition: Any | None = None,
+                   matched_delete_condition: Any | None = None,
+                   insert_unmatched: bool = True,
+                   insert_condition: Any | None = None,
+                   batch_id: int | None = None,
+                   prune_buckets: bool = True) -> dict[str, Any] | None:
+        """MERGE INTO this runner's table from a source DataFrame, riding
+        the runner's configured merge plan and lineage — see
+        ``merge.merge_into`` for the clause semantics and the bucket-pruned
+        join plan."""
+        from .merge import merge_into
+
+        return self._retry_commit(lambda: merge_into(
+            self.spark, self.table, source,
+            matched_update=matched_update,
+            matched_update_condition=matched_update_condition,
+            matched_delete_condition=matched_delete_condition,
+            insert_unmatched=insert_unmatched,
+            insert_condition=insert_condition,
+            mode=self.mode, batch_id=batch_id,
+            lineage_dir=self.lineage_dir,
+            salted=self.salted, n_salts=self.n_salts, plan=self.plan,
+            shuffle_salts=self.shuffle_salts,
+            max_records_per_file=self.max_records_per_file,
+            prune_buckets=prune_buckets,
+        ))
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")
