@@ -191,8 +191,23 @@ def run_cdc_section(spark, workdir: str) -> dict:
             runner.update_where("role = 'tool'",
                                 {"text": "concat(text, '.')"})
             dml_update_sec = time.time() - t3
+            # MERGE INTO on the same table: bucket-pruned three-clause
+            # merge from a source touching ~1/13 of the live keys
+            from pyspark.sql import functions as F
+            live = runner.table.read(spark)
+            msrc = (live.filter(F.col("turn_idx") % 13 == 4)
+                    .select("conv_id", "turn_idx",
+                            F.when(F.col("turn_idx") % 2 == 0, "D")
+                             .otherwise("U").alias("op")))
+            t4 = time.time()
+            runner.merge_into(msrc,
+                              matched_update={"text": "concat(t.text, '~')"},
+                              matched_delete_condition="s.op = 'D'",
+                              insert_unmatched=False)
+            dml_merge_sec = time.time() - t4
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
-                  f"update={dml_update_sec:.1f}s", file=sys.stderr)
+                  f"update={dml_update_sec:.1f}s "
+                  f"merge={dml_merge_sec:.1f}s", file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
               f"steal={steal_pct:.1f}%", file=sys.stderr)
@@ -235,6 +250,7 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "sustained_attempts": sustained,
         "dml_delete_sec": round(dml_delete_sec, 3),
         "dml_update_sec": round(dml_update_sec, 3),
+        "dml_merge_sec": round(dml_merge_sec, 3),
     }
 
 
@@ -288,6 +304,7 @@ def main() -> None:
     queries["cdc_compact"] = round(compact_sec, 3)
     queries["cdc_delete_where"] = cdc["dml_delete_sec"]
     queries["cdc_update_where"] = cdc["dml_update_sec"]
+    queries["cdc_merge_into"] = cdc["dml_merge_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

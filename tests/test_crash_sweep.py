@@ -66,10 +66,58 @@ CONFIGS = {
     # are enumerated too; the fixed batch_id fences the resumed delete
     # exactly like an ingest batch
     "mor_dml": dict(mode="mor", dml=True),
+    # MERGE INTO after the apply loop: the merge's stage + commit_delta
+    # atomic writes join the sweep window; its fixed batch_id fences the
+    # resumed merge exactly like an ingest batch
+    "mor_merge": dict(mode="mor", merge=True),
 }
 
 DML_BATCH_ID = 9_700_001
 DML_PRED = "turn_idx % 3 = 0"
+MERGE_BATCH_ID = 9_700_002
+
+
+def _merge_source_rows(expected_full):
+    """Deterministic MERGE source derived from the replayed live state:
+    update the turn_idx%4==1 stripe, delete the %4==2 stripe, insert two
+    fresh keys. Pure python so the sweep's expected state is computable
+    without the engine."""
+    rows = []
+    for r in expected_full:
+        if r["turn_idx"] % 4 == 1:
+            rows.append((r["conv_id"], r["turn_idx"], "U", None))
+        elif r["turn_idx"] % 4 == 2:
+            rows.append((r["conv_id"], r["turn_idx"], "D", None))
+    rows.append(("conv-sweep-new", 0, "I", "merge-inserted-0"))
+    rows.append(("conv-sweep-new", 1, "I", "merge-inserted-1"))
+    return rows
+
+
+def _merge_expected(expected_full):
+    out = []
+    for r in expected_full:
+        if r["turn_idx"] % 4 == 2:
+            continue
+        if r["turn_idx"] % 4 == 1:
+            r = dict(r)
+            r["text"] = r["text"] + "|M"
+        out.append(dict(r))
+    for t in (0, 1):
+        out.append({"conv_id": "conv-sweep-new", "turn_idx": t,
+                    "role": None, "text": f"merge-inserted-{t}",
+                    "tool": None, "ts": None})
+    out.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    return out
+
+
+def _run_merge(spark, runner, expected_full):
+    src = spark.createDataFrame(
+        _merge_source_rows(expected_full),
+        "conv_id string, turn_idx long, op string, text string")
+    return runner.merge_into(
+        src, matched_update={"text": "concat(t.text, '|M')"},
+        matched_delete_condition="s.op = 'D'",
+        batch_id=MERGE_BATCH_ID)
 
 
 class SimulatedCrash(RuntimeError):
@@ -129,13 +177,16 @@ def _crashing_write(counter, crash_at):
     return wrapper
 
 
-def _run_to_completion(spark, log, root, kw):
+def _run_to_completion(spark, log, root, kw, expected_full=None):
     kw = dict(kw)
     dml = kw.pop("dml", False)
+    merge = kw.pop("merge", False)
     runner = CdcRunner(spark, log, str(root), n_buckets=4, **kw)
     runner.run()
     if dml:
         runner.delete_where(DML_PRED, batch_id=DML_BATCH_ID)
+    if merge:
+        _run_merge(spark, runner, expected_full)
     return runner
 
 
@@ -145,15 +196,18 @@ def test_crash_before_every_atomic_write_resumes_exactly_once(
     kw = CONFIGS[name]
     log = str(tmp_path / "log")
     generate_change_log(log, CFG)
-    expected = replay(log)
+    expected_full = replay(log)
+    expected = expected_full
     if kw.get("dml"):
-        expected = [r for r in expected if r["turn_idx"] % 3 != 0]
+        expected = [r for r in expected_full if r["turn_idx"] % 3 != 0]
+    if kw.get("merge"):
+        expected = _merge_expected(expected_full)
 
     # baseline: count the atomic writes in a clean run (deterministic —
     # same log, same code path, synchronous maintenance)
     counter = {"n": 0}
     with mock.patch.object(CowTable, "_atomic_write", _counting_write(counter)):
-        _run_to_completion(spark, log, tmp_path / "baseline", kw)
+        _run_to_completion(spark, log, tmp_path / "baseline", kw, expected_full)
     total_writes = counter["n"]
     assert total_writes >= 3, "sweep window unexpectedly empty"
 
@@ -165,11 +219,11 @@ def test_crash_before_every_atomic_write_resumes_exactly_once(
             with pytest.raises(SimulatedCrash):
                 # construction itself publishes snapshot 0, so k=0/1 crash
                 # inside CdcRunner.__init__ — that is a real crash point too
-                _run_to_completion(spark, log, root, kw)
+                _run_to_completion(spark, log, root, kw, expected_full)
 
         # cold restart: fresh runner, caches rebuilt from whatever the
         # crash left on disk
-        resumed = _run_to_completion(spark, log, root, kw)
+        resumed = _run_to_completion(spark, log, root, kw, expected_full)
         actual = [r.asDict() for r in resumed.final_state().collect()]
         assert actual == expected, f"{name}: state diverged after crash at k={k}"
 
@@ -180,10 +234,13 @@ def test_crash_before_every_atomic_write_resumes_exactly_once(
 
         # a further cold rerun applies nothing (fencing fully engaged)
         again = CdcRunner(spark, log, str(root), n_buckets=4,
-                          **{k2: v for k2, v in kw.items() if k2 != "dml"})
+                          **{k2: v for k2, v in kw.items()
+                             if k2 not in ("dml", "merge")})
         res = again.run()
         assert res.batches_applied == [], (
             f"{name}: rerun re-applied batches after crash at k={k}")
         if kw.get("dml"):
             # the DML batch is fenced exactly like an ingest batch
             assert again.delete_where(DML_PRED, batch_id=DML_BATCH_ID) is None
+        if kw.get("merge"):
+            assert _run_merge(spark, again, expected_full) is None
