@@ -260,6 +260,89 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_change_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-style change feed with row images: build the table from the
+    first two log batches, pin that snapshot, apply the rest, then serve
+    the window's net changes as insert / update_preimage /
+    update_postimage / delete rows (delete carries the OLD payload). The
+    after-side is the O(changes) MOR feed reduced to net winners; the
+    before-side reads only the touched buckets. Oracle: DuckDB computes
+    the two LWW states (batch_id < 2 via hive partitioning vs all) and
+    emits the same image rows where the winner's LSN advanced."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-images-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=2)
+    snap_a = runner.table.current_snapshot()["snapshot_id"]
+    runner.run()
+    return (runner.table.read_changes_with_images(spark, snap_a)
+            .orderBy("conv_id", "turn_idx", "_change_type"))
+
+
+def _cdc_change_images_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true,
+                             hive_partitioning = true)
+),
+valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, lsn, CAST(batch_id AS BIGINT) AS batch_id
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+),
+a_w AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY lsn DESC) AS rn
+    FROM valid WHERE batch_id < 2) WHERE rn = 1
+),
+b_w AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY lsn DESC) AS rn
+    FROM valid) WHERE rn = 1
+),
+ch AS (
+  SELECT b.conv_id, b.turn_idx,
+         a.op AS old_op, a.role AS old_role, a.text AS old_text,
+         a.tool AS old_tool, a.ts AS old_ts, a.lsn AS old_lsn,
+         b.op AS new_op, b.role AS new_role, b.text AS new_text,
+         b.tool AS new_tool, b.ts AS new_ts, b.lsn AS new_lsn
+  FROM b_w b LEFT JOIN a_w a
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+  WHERE a.lsn IS NULL OR b.lsn > a.lsn
+),
+imgs AS (
+  SELECT conv_id, turn_idx, new_role AS role, new_text AS text,
+         new_tool AS tool, new_ts AS ts, 'insert' AS _change_type,
+         new_lsn AS _lsn
+  FROM ch WHERE new_op <> 'D' AND (old_lsn IS NULL OR old_op = 'D')
+  UNION ALL
+  SELECT conv_id, turn_idx, old_role, old_text, old_tool, old_ts,
+         'update_preimage', new_lsn
+  FROM ch WHERE new_op <> 'D' AND old_lsn IS NOT NULL AND old_op <> 'D'
+  UNION ALL
+  SELECT conv_id, turn_idx, new_role, new_text, new_tool, new_ts,
+         'update_postimage', new_lsn
+  FROM ch WHERE new_op <> 'D' AND old_lsn IS NOT NULL AND old_op <> 'D'
+  UNION ALL
+  SELECT conv_id, turn_idx, old_role, old_text, old_tool, old_ts,
+         'delete', new_lsn
+  FROM ch WHERE new_op = 'D' AND old_lsn IS NOT NULL AND old_op <> 'D'
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, _change_type, _lsn
+FROM imgs
+ORDER BY conv_id, turn_idx, _change_type
+"""
+
+
 def _cdc_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (TimescaleDB-rollup-style) as a query: build
     the table from the deterministic log, refresh the incrementally-
@@ -342,6 +425,7 @@ _PRIORITY_ORDER = (
     "cdc_delete_where",
     "cdc_update_where",
     "cdc_merge_into",
+    "cdc_change_images",
     "cdc_rollup_counts",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
@@ -401,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_delete_where"] = _cdc_delete_where
     out["cdc_update_where"] = _cdc_update_where
     out["cdc_merge_into"] = _cdc_merge_into
+    out["cdc_change_images"] = _cdc_change_images
     out["cdc_rollup_counts"] = _cdc_rollup_counts
     return _reorder(out)
 
@@ -415,5 +500,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_delete_where"] = _cdc_delete_where_oracle_sql()
     out["cdc_update_where"] = _cdc_update_where_oracle_sql()
     out["cdc_merge_into"] = _cdc_merge_into_oracle_sql()
+    out["cdc_change_images"] = _cdc_change_images_oracle_sql()
     out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
     return _reorder(out)
