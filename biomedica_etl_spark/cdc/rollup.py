@@ -1,10 +1,13 @@
 """Continuous aggregate (hypertable-rollup-style) maintenance.
 
 A rollup table (per-conversation live-turn counts) kept in sync with the
-transcripts table INCREMENTALLY: each refresh scans only the semantic diff
-since the last-applied snapshot (``CowTable.diff`` — O(two version scans
-of affected keys), never a full re-aggregation), folds the per-key deltas
-into the previous rollup state, and advances a cursor. This is the
+transcripts table INCREMENTALLY: each refresh consumes only the net
+changes since the last-applied snapshot — the O(changes) image feed
+(``read_changes_with_images(columns=[])``) when the commit chain is
+feed-serveable, falling back to the semantic ``CowTable.diff`` (two
+keys+system version scans) across COW rewrites / major compactions —
+folds the per-key deltas into the previous rollup state, and advances a
+cursor. Never a full re-aggregation. This is the
 TimescaleDB continuous-aggregate / Materialize-maintained-view discipline
 expressed on the engine's own snapshot metadata:
 
@@ -110,6 +113,27 @@ class RollupTable:
                 shutil.rmtree(os.path.join(self.root, entry),
                               ignore_errors=True)
 
+    def _changes(self, spark: SparkSession, table: CowTable,
+                 cur: int, target: int):
+        """Net per-key changes since the cursor, cheapest source first:
+        the O(changes) image feed pruned to keys + change type
+        (``read_changes_with_images(columns=[])`` — never reads a payload
+        byte, and its before-side touches only the changed buckets), or
+        the semantic ``diff`` (two keys+system version scans) when the
+        commit chain since the cursor is not feed-serveable (COW rewrite,
+        major compaction, rollback — the feed's resync contract). Both
+        sources emit identical net per-key change types, so the fold is
+        source-agnostic."""
+        try:
+            feed = table.read_changes_with_images(
+                spark, cur, to_snapshot=target, columns=[])
+            return (feed.select(
+                "conv_id", F.col("_change_type").alias("change_type")),
+                "feed")
+        except ValueError:
+            return (table.diff(spark, cur, target)
+                    .select("conv_id", "change_type"), "diff")
+
     def refresh(self, spark: SparkSession, table: CowTable) -> dict[str, Any]:
         """Advance the rollup to the table's current snapshot.
 
@@ -132,7 +156,7 @@ class RollupTable:
                     .groupBy("conv_id").agg(*aggs))
             self._commit(full, target)
             return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
-        d = table.diff(spark, cur, target)
+        d, change_src = self._changes(spark, table, cur, target)
         if self.track_max_ts:
             # non-retractable aggregate: recompute ONLY the affected groups,
             # pruned first to their buckets (bounded driver list) then to
@@ -168,7 +192,7 @@ class RollupTable:
             finally:
                 affected.unpersist()
             return {"refreshed": True, "cursor": target,
-                    "mode": "incremental-recompute",
+                    "mode": "incremental-recompute", "source": change_src,
                     "buckets_scanned": len(buckets)}
         delta = d.groupBy("conv_id").agg(
             F.sum(
@@ -188,4 +212,5 @@ class RollupTable:
             .filter(F.col("n_turns") > 0)
         )
         self._commit(merged, target)
-        return {"refreshed": True, "cursor": target, "mode": "incremental"}
+        return {"refreshed": True, "cursor": target, "mode": "incremental",
+                "source": change_src}

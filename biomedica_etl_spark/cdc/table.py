@@ -830,6 +830,7 @@ class CowTable:
     def read_changes_with_images(
         self, spark: SparkSession, from_snapshot: int,
         to_snapshot: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Delta-CDF-style change feed WITH row images: for every key whose
         resolved winner changed between the two snapshots, emit
@@ -860,7 +861,11 @@ class CowTable:
         known driver-side from the two manifests, no scan — so a small
         change window against a huge table never reads the untouched
         buckets. The join is key-equi inside those buckets; emission is
-        one generated-column explode, no second shuffle.
+        one generated-column explode, no second shuffle. ``columns``
+        prunes the image payload exactly like ``read(columns=)`` — a
+        consumer that only needs keys + ``_change_type`` (e.g. a count
+        maintainer) passes ``columns=[]`` and neither side ever reads a
+        payload byte.
         """
         self._load_all()
         from_snap = self.snapshot_by_id(from_snapshot)
@@ -878,7 +883,8 @@ class CowTable:
             int(b) for b in set(f_dirs) | set(t_dirs)
             if f_dirs.get(b, []) != t_dirs.get(b, []))
         payload = [c for c, _ in PAYLOAD_FIELDS
-                   if c not in ("conv_id", "turn_idx")]
+                   if c not in ("conv_id", "turn_idx")
+                   and (columns is None or c in columns)]
         value_cols = payload + [SYS_LSN, SYS_DELETED]
         net = (
             feed.groupBy("conv_id", "turn_idx")
@@ -887,7 +893,8 @@ class CowTable:
                     *[F.col(f"_n.{c}").alias(f"n_{c}") for c in value_cols])
         )
         pre = self.read_raw(
-            spark, buckets=touched, snapshot_id=from_snapshot
+            spark, buckets=touched, snapshot_id=from_snapshot,
+            columns=payload if columns is not None else None,
         ).select("conv_id", "turn_idx",
                  *[F.col(c).alias(f"p_{c}") for c in value_cols])
         j = net.join(pre, on=["conv_id", "turn_idx"], how="left_outer")
@@ -903,11 +910,11 @@ class CowTable:
                 F.col(f"n_{SYS_LSN}").alias(SYS_LSN),
             )
 
-        img_fields = ", ".join(
-            f"{c}: {t.simpleString()}" for c, t in PAYLOAD_FIELDS
-            if c not in ("conv_id", "turn_idx"))
+        img_fields = "".join(
+            f"{c}: {t.simpleString()}, " for c, t in PAYLOAD_FIELDS
+            if c in payload)
         empty = F.array().cast(
-            f"array<struct<{img_fields}, _change_type: string, "
+            f"array<struct<{img_fields}_change_type: string, "
             f"{SYS_LSN}: bigint>>")
         imgs = (
             F.when(~effective, empty)

@@ -91,3 +91,38 @@ def test_rollup_group_vanishes_when_fully_deleted(spark, tmp_path):
     roll.refresh(spark, r.table)
     assert all(x["conv_id"] != victim for x in roll.read(spark).collect())
     assert _canon(roll.read(spark)) == _canon(_expected(spark, r.table))
+
+
+def test_rollup_rides_feed_and_falls_back_across_compaction(spark, tmp_path):
+    """Steady-state refreshes consume the O(changes) image feed (keys +
+    change type only); a major compaction inside the window trips the
+    feed's resync contract and the refresh transparently falls back to
+    the semantic diff — same state either way."""
+    from biomedica_etl_spark.cdc.merge import compact
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  compact_every=10_000)
+    def canon(df):
+        return sorted((x["conv_id"], x["n_turns"]) for x in df.collect())
+
+    def truth():
+        return canon(r.table.read(spark).groupBy("conv_id")
+                     .agg(F.count(F.lit(1)).alias("n_turns")))
+
+    r.run(max_batches=1)
+    roll = RollupTable(str(tmp_path / "rollup"))
+    roll.refresh(spark, r.table)  # bootstrap
+
+    r.run(max_batches=1)
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental"
+    assert res["source"] == "feed"
+    assert canon(roll.read(spark)) == truth()
+
+    r.run()
+    compact(spark, r.table)  # base rewrite inside the next window
+    res = roll.refresh(spark, r.table)
+    assert res["source"] == "diff"
+    assert canon(roll.read(spark)) == truth()
