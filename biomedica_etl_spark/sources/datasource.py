@@ -261,6 +261,14 @@ class CowTableReader(DataSourceReader):
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap is not None else None
         self.tombstones = options.get("tombstones", "false").lower() == "true"
+        # explicit bucket prune (comma-separated ints): callers that
+        # already know the touched buckets (MERGE's source-key prune)
+        # restrict the planned partitions directly, without needing a
+        # conv_id predicate for pushFilters to derive them from
+        bucks = options.get("buckets")
+        self.buckets: set[int] | None = (
+            {int(b) for b in str(bucks).split(",") if b != ""}
+            if bucks is not None else None)
         self._conv_filter: set | None = None
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -294,12 +302,13 @@ class CowTableReader(DataSourceReader):
         snap = table._resolve_snapshot(self.snapshot_id)
         if snap is None:
             return [_BucketFiles(0, [])]
-        allowed: set[int] | None = None
+        allowed: set[int] | None = self.buckets
         if self._conv_filter is not None:
             from biomedica_etl_spark.cdc.xxhash import bucket_of
 
-            allowed = {bucket_of(c, snap["n_buckets"])
+            derived = {bucket_of(c, snap["n_buckets"])
                        for c in self._conv_filter}
+            allowed = derived if allowed is None else allowed & derived
         per_bucket: dict[int, list[str]] = {}
         for key in ("bucket_dirs", "delta_dirs"):
             for b, d in snap.get(key, {}).items():

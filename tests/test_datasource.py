@@ -293,3 +293,26 @@ def test_stream_changes_source_tails_commit_chain(spark, tmp_path):
     compact(spark, table)
     with pytest.raises(ValueError, match="resync"):
         reader.partitions({"snapshot_id": genesis}, reader.latestOffset())
+
+
+def test_native_reader_buckets_option_prunes_partitions(spark, tmp_path):
+    """option('buckets', 'a,b') restricts the planned partitions directly
+    (MERGE's source-key prune rides this), composing with pushFilters."""
+    from biomedica_etl_spark.sources.datasource import CowTableReader
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor", compact_every=3)
+    runner.run()
+    table = runner.table
+    register_data_sources(spark)
+    reader = CowTableReader({"root": table.root, "buckets": "1,3"})
+    parts = reader.partitions()
+    assert {p.bucket for p in parts} <= {1, 3}
+    # end-to-end: the pruned read equals the engine's bucket-pruned read
+    df = (spark.read.format("cowtable").option("root", table.root)
+          .option("buckets", "1,3").load())
+    expected = table.read(spark, buckets=[1, 3])
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, expected.collect()))
