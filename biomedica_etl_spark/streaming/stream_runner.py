@@ -99,6 +99,86 @@ def stream_apply(
     return writer.start()
 
 
+def stream_merge(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    mode: str = "mor",
+    matched_update="source",
+    matched_update_condition=None,
+    matched_delete_condition=None,
+    insert_unmatched: bool = True,
+    insert_condition=None,
+    order_col: str | None = "lsn",
+    available_now: bool = True,
+    batch_id_base: int = 2_000_000_000,
+):
+    """Streaming MERGE INTO: the Delta ``foreachBatch`` merge pattern as a
+    first-class surface. Each micro-batch of ``source_stream`` is merged
+    into the table with the given clause matrix (see ``merge.merge_into``
+    for semantics — per-clause conditions over the ``s.``/``t.`` join
+    namespace, delete evaluated first, bucket-pruned target read).
+
+    ``order_col`` (default ``lsn``): a micro-batch may carry several
+    events per key, but MERGE requires one source row per key — when the
+    column is present the batch is pre-reduced to its max-``order_col``
+    row per key (the same LWW discipline as ingest, scoped to the batch);
+    pass ``None`` if the source is already one-row-per-key. Exactly-once:
+    each epoch merges under ``batch_id_base + epoch_id``, so a replayed
+    epoch (crash between sink write and checkpoint commit) fences into a
+    no-op — the same discipline as ``stream_apply``. Namespace the base
+    per query when several streaming merges target one table.
+
+    Returns the streaming query handle."""
+    from pyspark.sql import functions as F
+
+    from ..cdc.merge import merge_into
+    from ..cdc.schema import KEY_COLS
+    from ..sources.datasource import register_data_sources
+
+    # register BEFORE the stream starts: the micro-batch engine clones the
+    # session at query start, and the clone must inherit the pushdown conf
+    # the native cowtable reader requires (merge_into's target read)
+    register_data_sources(spark)
+    table = CowTable(table_root, n_buckets=n_buckets)
+    table.create()
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # plan against the micro-batch's own (cloned) session — conf set on
+        # the outer session after stream start would not reach it
+        sess = batch_df.sparkSession
+        register_data_sources(sess)
+        src = batch_df
+        if order_col is not None and order_col in src.columns:
+            others = [c for c in src.columns if c not in KEY_COLS]
+            src = (src.groupBy(*KEY_COLS)
+                   .agg(F.max_by(F.struct(*others), F.col(order_col))
+                        .alias("_w"))
+                   .select(*KEY_COLS,
+                           *[F.col(f"_w.{c}").alias(c) for c in others]))
+        table.refresh()  # commits land between epochs; re-read metadata
+        merge_into(
+            sess, table, src,
+            matched_update=matched_update,
+            matched_update_condition=matched_update_condition,
+            matched_delete_condition=matched_delete_condition,
+            insert_unmatched=insert_unmatched,
+            insert_condition=insert_condition,
+            mode=mode, batch_id=batch_id_base + epoch_id,
+        )
+
+    writer = (
+        source_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     src_dir: str,

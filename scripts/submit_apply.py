@@ -59,6 +59,11 @@ def main() -> None:
     p.add_argument("--update-set", default=None, metavar="JSON",
                    help='assignments for --update-where, '
                         'e.g. {"text": "upper(text)"}')
+    p.add_argument("--merge-from", default=None, metavar="PATH",
+                   help="parquet path of a MERGE source (one row per key); "
+                        "merged after the apply loop with delete on "
+                        "s.op = 'D' when the source has an op column, "
+                        "full-row source update, insert-unmatched")
     args = p.parse_args()
     if (args.update_where is None) != (args.update_set is None):
         p.error("--update-where and --update-set must be given together")
@@ -93,6 +98,16 @@ def main() -> None:
         snap = runner.update_where(args.update_where,
                                    json.loads(args.update_set))
         dml["update_where_rows"] = snap["summary"]["rows_upserted"] if snap else 0
+    if args.merge_from is not None:
+        src_df = spark.read.parquet(args.merge_from)
+        snap = runner.merge_into(
+            src_df, matched_update="source",
+            matched_delete_condition=(
+                "s.op = 'D'" if "op" in src_df.columns else None),
+            insert_unmatched=True)
+        if snap:
+            dml["merge_rows_upserted"] = snap["summary"]["rows_upserted"]
+            dml["merge_rows_deleted"] = snap["summary"]["rows_deleted"]
     print(
         json.dumps(
             {

@@ -240,3 +240,58 @@ def test_sessionize_stateful_gap_and_timeout(spark, tmp_path):
         (1, ts(240), ts(240), 1),  # closed by event-time timeout
         (2, ts(5), ts(5), 1),      # closed by event-time timeout
     ]
+
+
+def test_stream_merge_matches_oracle_and_replayed_epochs_fence(spark, tmp_path):
+    """Streaming MERGE INTO (the Delta foreachBatch-merge pattern): each
+    micro-batch pre-reduced to one row per key and merged with a CDC
+    clause matrix (delete on op='D', upsert otherwise). In-order log with
+    no duplicates, so the merge's fresh-LSN-per-commit semantics coincide
+    with the replay oracle. A fresh checkpoint replays every epoch under
+    the same batch ids — all fenced, state unchanged."""
+    from functools import reduce as _freduce
+
+    from biomedica_etl_spark.cdc.schema import SchemaRegistry
+    from biomedica_etl_spark.streaming.stream_runner import (
+        _epoch_streams,
+        stream_merge,
+    )
+
+    cfg = GeneratorConfig(
+        n_events=4_000, batch_size=500, n_convs=60, duplicate_frac=0.0,
+        out_of_order=False, zipf_a=1.2, schema_epoch_starts=(0.0, 0.3, 0.6),
+    )
+    log = str(tmp_path / "log")
+    generate_change_log(log, cfg)
+    table_root = str(tmp_path / "t")
+
+    def _source():
+        streams = _epoch_streams(spark, log, SchemaRegistry(), 4)
+        return _freduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), streams)
+
+    q = stream_merge(spark, _source(), table_root, str(tmp_path / "ckpt"),
+                     n_buckets=8, mode="mor",
+                     matched_update="source",
+                     matched_delete_condition="s.op = 'D'",
+                     insert_condition="s.op <> 'D'")
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    table = CowTable(table_root)
+    actual = [r.asDict() for r in
+              table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert actual == replay(log)
+    n_snaps = len(table.snapshots())
+
+    # fresh checkpoint: every epoch replays under the same batch ids ->
+    # every merge fences into a no-op, no new snapshots, state unchanged
+    q2 = stream_merge(spark, _source(), table_root, str(tmp_path / "ckpt2"),
+                      n_buckets=8, mode="mor",
+                      matched_update="source",
+                      matched_delete_condition="s.op = 'D'",
+                      insert_condition="s.op <> 'D'")
+    assert q2.awaitTermination(300)
+    table.refresh()
+    assert len(table.snapshots()) == n_snaps
+    assert [r.asDict() for r in
+            table.read(spark).orderBy("conv_id", "turn_idx").collect()] == actual
