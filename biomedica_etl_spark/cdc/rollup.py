@@ -56,11 +56,21 @@ class RollupTable:
     so its cost is O(rows of changed conversations), never a full
     re-aggregation. Unaffected groups carry their prior row forward
     untouched (anti-join), and a group whose last live row vanished
-    simply has no recomputed row — it drops out."""
+    simply has no recomputed row — it drops out.
 
-    def __init__(self, root: str, track_max_ts: bool = False) -> None:
+    ``track_sum_len=True`` adds ``sum_len`` = sum(length(text)) and keeps
+    it RETRACTABLE through the image feed: ``update_preimage``/``delete``
+    rows carry the OLD text whose length the fold subtracts, so the
+    refresh stays O(changes) — the aggregate the plain diff could never
+    retract (it reads no payload). When the window is not feed-serveable
+    it degrades to the affected-group recompute, and combined with
+    ``track_max_ts`` the recompute path maintains both."""
+
+    def __init__(self, root: str, track_max_ts: bool = False,
+                 track_sum_len: bool = False) -> None:
         self.root = root
         self.track_max_ts = track_max_ts
+        self.track_sum_len = track_sum_len
         os.makedirs(root, exist_ok=True)
 
     def _pointer_path(self) -> str:
@@ -84,6 +94,8 @@ class RollupTable:
         ]
         if self.track_max_ts:
             fields.append(T.StructField("max_ts", T.TimestampType()))
+        if self.track_sum_len:
+            fields.append(T.StructField("sum_len", T.LongType()))
         return T.StructType(fields)
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -134,6 +146,49 @@ class RollupTable:
             return (table.diff(spark, cur, target)
                     .select("conv_id", "change_type"), "diff")
 
+    def _recompute_affected(self, spark: SparkSession, table: CowTable,
+                            target: int, d: DataFrame, aggs, cols,
+                            change_src: str) -> dict[str, Any]:
+        """Affected-group recompute (the non-retractable IVM discipline):
+        pruned first to the affected conversations' BUCKETS (a bounded
+        driver-side list — at most n_buckets values regardless of how many
+        groups changed) and then to the affected groups by semi-join, so
+        the cost is O(rows of changed conversations), never a full
+        re-aggregation. Unaffected groups carry their prior row forward
+        (anti-join); a group whose last live row vanished drops out."""
+        from .table import bucket_expr
+
+        # persist: the change set behind `affected` feeds three separate
+        # actions (the bucket collect, the semi-join, the anti-join) —
+        # without the persist each one re-runs its scans
+        affected = d.select("conv_id").distinct().persist()
+        try:
+            buckets = sorted(
+                r["b"] for r in affected.select(
+                    bucket_expr("conv_id", table.n_buckets).alias("b"))
+                .distinct().collect()
+            )
+            recomputed = (
+                # pruned to the tracked columns (count needs no payload)
+                # AND pinned to the target snapshot: under concurrent
+                # ingest an unpinned read would leak post-target rows
+                # into the state committed for cursor=target
+                table.read(spark, buckets=buckets, snapshot_id=target,
+                           columns=cols)
+                .join(affected, "conv_id", "semi")
+                .groupBy("conv_id").agg(*aggs)
+            )
+            merged = (
+                self.read(spark).join(affected, "conv_id", "left_anti")
+                .unionByName(recomputed)
+            )
+            self._commit(merged, target)
+        finally:
+            affected.unpersist()
+        return {"refreshed": True, "cursor": target,
+                "mode": "incremental-recompute", "source": change_src,
+                "buckets_scanned": len(buckets)}
+
     def refresh(self, spark: SparkSession, table: CowTable) -> dict[str, Any]:
         """Advance the rollup to the table's current snapshot.
 
@@ -146,9 +201,15 @@ class RollupTable:
         if cur == target:
             return {"refreshed": False, "cursor": cur}
         aggs = [F.count(F.lit(1)).alias("n_turns")]
+        cols = []
         if self.track_max_ts:
             aggs.append(F.max("ts").alias("max_ts"))
-        cols = ["ts"] if self.track_max_ts else []
+            cols.append("ts")
+        if self.track_sum_len:
+            aggs.append(F.coalesce(
+                F.sum(F.coalesce(F.length("text"), F.lit(0))),
+                F.lit(0)).cast("long").alias("sum_len"))
+            cols.append("text")
         if cur is None:
             # pinned to target: a commit landing mid-bootstrap must not
             # leak rows beyond the cursor being recorded
@@ -156,44 +217,52 @@ class RollupTable:
                     .groupBy("conv_id").agg(*aggs))
             self._commit(full, target)
             return {"refreshed": True, "cursor": target, "mode": "bootstrap"}
-        d, change_src = self._changes(spark, table, cur, target)
-        if self.track_max_ts:
-            # non-retractable aggregate: recompute ONLY the affected groups,
-            # pruned first to their buckets (bounded driver list) then to
-            # the groups by semi-join; unaffected rows carry forward
-            from .table import bucket_expr
-
-            # persist: the diff behind `affected` scans two table versions
-            # and feeds three separate actions (the bucket collect, the
-            # semi-join, the anti-join) — without the persist each one
-            # re-runs both version scans
-            affected = d.select("conv_id").distinct().persist()
+        if self.track_sum_len and not self.track_max_ts:
+            # sum(length(text)) is RETRACTABLE, but only with row images:
+            # the delete/preimage rows carry the OLD text the fold must
+            # subtract. With the feed serveable the whole refresh is
+            # O(changes); otherwise (COW rewrite / major compaction in the
+            # window) fall back to affected-group recompute — diff alone
+            # cannot retract a payload it never reads.
             try:
-                buckets = sorted(
-                    r["b"] for r in affected.select(
-                        bucket_expr("conv_id", table.n_buckets).alias("b"))
-                    .distinct().collect()
-                )
-                recomputed = (
-                    # pruned to the ts column (count needs no payload) AND
-                    # pinned to the target snapshot: under concurrent
-                    # ingest an unpinned read would leak post-target rows
-                    # into the state committed for cursor=target
-                    table.read(spark, buckets=buckets, snapshot_id=target,
-                               columns=cols)
-                    .join(affected, "conv_id", "semi")
-                    .groupBy("conv_id").agg(*aggs)
-                )
+                imgs = table.read_changes_with_images(
+                    spark, cur, to_snapshot=target, columns=["text"])
+            except ValueError:
+                imgs = None
+            if imgs is not None:
+                length = F.coalesce(F.length("text"), F.lit(0))
+                sign = F.when(F.col("_change_type").isin(
+                    "insert", "update_postimage"), F.lit(1)).otherwise(F.lit(-1))
+                dn = (F.when(F.col("_change_type") == "insert", 1)
+                      .when(F.col("_change_type") == "delete", -1)
+                      .otherwise(0))
+                delta = imgs.groupBy("conv_id").agg(
+                    F.sum(dn).alias("dn"),
+                    F.sum(sign * length).alias("dlen"))
+                old = self.read(spark)
                 merged = (
-                    self.read(spark).join(affected, "conv_id", "left_anti")
-                    .unionByName(recomputed)
+                    old.join(delta, "conv_id", "full_outer")
+                    .select(
+                        "conv_id",
+                        (F.coalesce(F.col("n_turns"), F.lit(0))
+                         + F.coalesce(F.col("dn"), F.lit(0))).alias("n_turns"),
+                        (F.coalesce(F.col("sum_len"), F.lit(0))
+                         + F.coalesce(F.col("dlen"), F.lit(0)))
+                        .cast("long").alias("sum_len"),
+                    )
+                    .filter(F.col("n_turns") > 0)
                 )
                 self._commit(merged, target)
-            finally:
-                affected.unpersist()
-            return {"refreshed": True, "cursor": target,
-                    "mode": "incremental-recompute", "source": change_src,
-                    "buckets_scanned": len(buckets)}
+                return {"refreshed": True, "cursor": target,
+                        "mode": "incremental-retractable", "source": "feed"}
+            return self._recompute_affected(
+                spark, table, target,
+                table.diff(spark, cur, target), aggs, cols, "diff")
+        d, change_src = self._changes(spark, table, cur, target)
+        if self.track_max_ts:
+            # non-retractable aggregate: recompute ONLY the affected groups
+            return self._recompute_affected(spark, table, target, d, aggs,
+                                            cols, change_src)
         delta = d.groupBy("conv_id").agg(
             F.sum(
                 F.when(F.col("change_type") == "insert", 1)

@@ -126,3 +126,82 @@ def test_rollup_rides_feed_and_falls_back_across_compaction(spark, tmp_path):
     res = roll.refresh(spark, r.table)
     assert res["source"] == "diff"
     assert canon(roll.read(spark)) == truth()
+
+
+def test_rollup_retractable_sum_len_rides_images(spark, tmp_path):
+    """track_sum_len: sum(length(text)) maintained RETRACTABLY from the
+    image feed (preimage/delete rows carry the old text the fold
+    subtracts) — O(changes) per refresh; across a major compaction it
+    falls back to affected-group recompute. Updates that change a text's
+    length and deletes both land exactly."""
+    from biomedica_etl_spark.cdc.merge import compact
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  compact_every=10_000)
+    r.run(max_batches=2)
+    roll = RollupTable(str(tmp_path / "rollup"), track_sum_len=True)
+    roll.refresh(spark, r.table)  # bootstrap
+
+    def truth():
+        return sorted(
+            (x["conv_id"], x["n_turns"], x["sum_len"]) for x in
+            r.table.read(spark).groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                .cast("long").alias("sum_len")).collect())
+
+    def state():
+        return sorted((x["conv_id"], x["n_turns"], x["sum_len"])
+                      for x in roll.read(spark).collect())
+
+    # ingest window: retractable fold off the feed
+    r.run()
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental-retractable"
+    assert res["source"] == "feed"
+    assert state() == truth()
+
+    # DML window: updates change lengths, deletes retract them
+    r.update_where("role = 'user'", {"text": "concat(text, '-longer')"})
+    r.delete_where("turn_idx % 5 = 2")
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental-retractable"
+    assert state() == truth()
+
+    # compaction window: feed unavailable -> affected-group recompute
+    victim = r.table.read(spark).orderBy("conv_id").first()["conv_id"]
+    r.delete_where(f"conv_id = '{victim}'")
+    compact(spark, r.table)
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental-recompute"
+    assert res["source"] == "diff"
+    assert state() == truth()
+
+
+def test_rollup_sum_len_with_max_ts_uses_recompute_for_both(spark, tmp_path):
+    """Both flags: the non-retractable max_ts forces the recompute path,
+    which must recompute sum_len for the affected groups too."""
+    log = str(tmp_path / "log")
+    generate_change_log(log, SCENARIOS["update_delete_mix"])
+    r = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                  compact_every=10_000)
+    r.run(max_batches=2)
+    roll = RollupTable(str(tmp_path / "rollup"), track_max_ts=True,
+                       track_sum_len=True)
+    roll.refresh(spark, r.table)
+    r.run()
+    r.update_where("role = 'tool'", {"text": "concat(text, '++')"})
+    res = roll.refresh(spark, r.table)
+    assert res["mode"] == "incremental-recompute"
+    expected = sorted(
+        (x["conv_id"], x["n_turns"], x["max_ts"], x["sum_len"]) for x in
+        r.table.read(spark).groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("ts").alias("max_ts"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)))
+            .cast("long").alias("sum_len")).collect())
+    actual = sorted((x["conv_id"], x["n_turns"], x["max_ts"], x["sum_len"])
+                    for x in roll.read(spark).collect())
+    assert actual == expected
