@@ -93,9 +93,25 @@ def test_any_maintenance_interleaving_preserves_state(
 from biomedica_etl_spark.cdc.oracle import FINAL_COLS, _read_all_events
 
 DML_OPS = st.lists(
-    st.sampled_from(["none", "delete", "update", "minor", "major", "purge"]),
+    st.sampled_from(["none", "delete", "update", "merge", "minor", "major",
+                     "purge"]),
     min_size=2, max_size=5,
 )
+
+# the MERGE drawn into interleavings: source = live keys at turn_idx%3==0,
+# delete the 'system' ones, suffix the rest (concat with NULL stays NULL,
+# mirrored in the simulator)
+_MERGE_SRC_PRED_SQL = "turn_idx % 3 = 0"
+
+
+def _merge_src_pred(row):
+    return row["turn_idx"] % 3 == 0
+
+
+def _merge_apply(row):
+    out = dict(row)
+    out["text"] = None if out["text"] is None else out["text"] + "~"
+    return out
 
 _DEL_PRED_SQL = "turn_idx % 4 = 1"
 _UPD_PRED_SQL = "role = 'user'"
@@ -157,6 +173,16 @@ def _simulate(events, batch_ids, ops):
                     state[key] = {"lsn": lsn, "deleted": False,
                                   "row": _upd_apply(row)}
             committed_hi = lsn
+        elif op == "merge":
+            lsn = committed_hi + 1
+            for key, row in list(live().items()):
+                if _merge_src_pred(row):
+                    if row["role"] == "system":
+                        state[key] = {"lsn": lsn, "deleted": True, "row": row}
+                    else:
+                        state[key] = {"lsn": lsn, "deleted": False,
+                                      "row": _merge_apply(row)}
+            committed_hi = lsn
         # minor/major/purge never change live state
     rows = sorted(live().values(),
                   key=lambda r: (r["conv_id"], r["turn_idx"]))
@@ -193,6 +219,15 @@ def test_any_dml_interleaving_matches_lww_simulator(
             runner.delete_where(_DEL_PRED_SQL)
         elif op == "update":
             runner.update_where(_UPD_PRED_SQL, _UPD_SET)
+        elif op == "merge":
+            src_df = (runner.table.read(spark, columns=[])
+                      .filter(_MERGE_SRC_PRED_SQL)
+                      .select("conv_id", "turn_idx"))
+            runner.merge_into(
+                src_df,
+                matched_update={"text": "concat(t.text, '~')"},
+                matched_delete_condition="t.role = 'system'",
+                insert_unmatched=False)
         elif op == "minor":
             compact_layers(spark, runner.table, min_layers=1)
         elif op == "major":
