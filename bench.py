@@ -184,6 +184,7 @@ def run_cdc_section(spark, workdir: str) -> dict:
         if i == CDC_REPEATS - 1:
             # predicate DML on the just-built bench-scale table: one
             # O(live) LWW-resolved scan + O(matched) tombstone/upsert layer
+            pre_dml_snap = runner.table.current_snapshot()["snapshot_id"]
             t2 = time.time()
             runner.delete_where("turn_idx % 11 = 5")
             dml_delete_sec = time.time() - t2
@@ -205,9 +206,17 @@ def run_cdc_section(spark, workdir: str) -> dict:
                               matched_delete_condition="s.op = 'D'",
                               insert_unmatched=False)
             dml_merge_sec = time.time() - t4
+            # CDF image feed over the three DML commits: O(changes) after-
+            # side + touched-bucket before-side; count() forces the full
+            # image plan (join + explode) without driver-side row transfer
+            t5 = time.time()
+            runner.table.read_changes_with_images(
+                spark, pre_dml_snap).count()
+            images_sec = time.time() - t5
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
-                  f"merge={dml_merge_sec:.1f}s", file=sys.stderr)
+                  f"merge={dml_merge_sec:.1f}s "
+                  f"images={images_sec:.1f}s", file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
               f"steal={steal_pct:.1f}%", file=sys.stderr)
@@ -251,6 +260,7 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "dml_delete_sec": round(dml_delete_sec, 3),
         "dml_update_sec": round(dml_update_sec, 3),
         "dml_merge_sec": round(dml_merge_sec, 3),
+        "images_sec": round(images_sec, 3),
     }
 
 
@@ -305,6 +315,7 @@ def main() -> None:
     queries["cdc_delete_where"] = cdc["dml_delete_sec"]
     queries["cdc_update_where"] = cdc["dml_update_sec"]
     queries["cdc_merge_into"] = cdc["dml_merge_sec"]
+    queries["cdc_change_images"] = cdc["images_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

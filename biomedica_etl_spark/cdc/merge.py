@@ -1450,6 +1450,12 @@ def merge_into(
     has_delete = matched_delete_condition is not None
     if not (has_update or has_delete or insert_unmatched):
         raise ValueError("merge_into with no active clause does nothing")
+    if matched_update_condition is not None and not has_update:
+        raise ValueError("matched_update_condition given but matched_update "
+                         "is None — the condition would be silently ignored")
+    if insert_condition is not None and not insert_unmatched:
+        raise ValueError("insert_condition given but insert_unmatched is "
+                         "False — the condition would be silently ignored")
     if batch_id is not None and table.is_committed(batch_id):
         return None
 

@@ -138,6 +138,12 @@ def test_merge_into_argument_validation(spark, log_dir, tmp_path):
                    insert_unmatched=False)
     with pytest.raises(ValueError, match="must be 'source'"):
         merge_into(spark, runner.table, live, matched_update="all")
+    with pytest.raises(ValueError, match="matched_update_condition"):
+        merge_into(spark, runner.table, live, matched_update=None,
+                   matched_update_condition="t.role = 'x'")
+    with pytest.raises(ValueError, match="insert_condition"):
+        merge_into(spark, runner.table, live, insert_unmatched=False,
+                   insert_condition="s.role = 'x'")
 
 
 def test_merge_into_delete_clause_wins_over_update(spark, log_dir, tmp_path):
