@@ -343,6 +343,119 @@ ORDER BY conv_id, turn_idx, _change_type
 """
 
 
+def _cdc_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index as a query: build the table
+    from the first two log batches, bootstrap the sharded postings index,
+    apply the rest plus a predicate delete, then refresh INCREMENTALLY —
+    the image feed's pre-images retract the deleted/updated rows' tokens
+    and only the affected shards rewrite. Oracle: a from-scratch
+    tokenize+count over the replayed live state minus the delete's
+    matches."""
+    from biomedica_etl_spark.cdc.index import TokenIndex
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-index-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=2)
+    idx = TokenIndex(os.path.join(work, "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)        # bootstrap at batch 2
+    runner.run()
+    runner.delete_where(_DELETE_PRED_SPARK)
+    res = idx.refresh(spark, runner.table)  # incremental, affected shards only
+    assert res["mode"] == "incremental", res
+    return idx.read(spark).orderBy("token", "conv_id", "turn_idx")
+
+
+def _cdc_token_index_oracle_sql() -> str:
+    """From-scratch inverted index over the replayed live state (winners
+    minus the delete predicate's matches): lower + split on
+    non-alphanumeric runs + per-row term counts — the exact tokenizer
+    contract the index documents (both engines drop empty tokens; Java
+    split and string_split_regex agree on everything else)."""
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+),
+live AS (
+  SELECT conv_id, turn_idx, text
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+    AND NOT {_DELETE_PRED_SQL}
+),
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM live
+)
+SELECT token, conv_id, turn_idx, count(*) AS tf
+FROM tok WHERE token <> ''
+GROUP BY token, conv_id, turn_idx
+ORDER BY token, conv_id, turn_idx
+"""
+
+
+def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once downstream replication through the image-feed cursor:
+    a replica table starts empty at the source's creation snapshot and is
+    maintained ONLY by poll/commit windows — each polled image window is
+    re-expressed as change events (postimages/inserts as op='U' at their
+    winning LSN, deletes as op='D') and applied through the replica's own
+    merge path with batch_id = the window token, so a crash-replayed
+    window fences to a no-op. A mid-stream DML window rides like any
+    other. Oracle: the LWW replay minus the delete predicate's matches —
+    replica state must equal source state."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor
+    from biomedica_etl_spark.cdc.merge import mor_apply_batch
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-replica-")
+    src = CdcRunner(spark, log, os.path.join(work, "src"), n_buckets=8,
+                    mode="mor")
+    src.table.create()
+    cur = ImageFeedCursor(os.path.join(work, "cursor"))
+    cur.initialize(src.table)  # cursor at the empty snapshot 0
+    rep = CowTable(os.path.join(work, "rep"), n_buckets=8)
+    rep.create()
+
+    def pump() -> None:
+        out = cur.poll(spark, src.table)
+        if out is None:
+            return
+        df, token = out
+        ev = (
+            df.filter(F.col("_change_type") != "update_preimage")
+            .select(
+                F.col("_lsn").alias("lsn"),
+                F.when(F.col("_change_type") == "delete", "D")
+                .otherwise("U").alias("op"),
+                "conv_id", "turn_idx", "role", "text", "tool", "ts")
+        )
+        mor_apply_batch(spark, rep, ev, batch_id=token, pre_reduced=True)
+        cur.commit(token)
+
+    src.run(max_batches=2)
+    pump()
+    src.run()
+    src.delete_where(_DELETE_PRED_SPARK)
+    pump()
+    return rep.read(spark).orderBy("conv_id", "turn_idx")
+
+
 def _cdc_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (TimescaleDB-rollup-style) as a query: build
     the table from the deterministic log, refresh the incrementally-
@@ -427,6 +540,8 @@ _PRIORITY_ORDER = (
     "cdc_merge_into",
     "cdc_change_images",
     "cdc_rollup_counts",
+    "cdc_token_index",
+    "cdc_feed_replica",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -487,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_merge_into"] = _cdc_merge_into
     out["cdc_change_images"] = _cdc_change_images
     out["cdc_rollup_counts"] = _cdc_rollup_counts
+    out["cdc_token_index"] = _cdc_token_index
+    out["cdc_feed_replica"] = _cdc_feed_replica
     return _reorder(out)
 
 
@@ -502,4 +619,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_merge_into"] = _cdc_merge_into_oracle_sql()
     out["cdc_change_images"] = _cdc_change_images_oracle_sql()
     out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
+    out["cdc_token_index"] = _cdc_token_index_oracle_sql()
+    out["cdc_feed_replica"] = _cdc_delete_where_oracle_sql()
     return _reorder(out)
