@@ -415,10 +415,7 @@ def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     window fences to a no-op. A mid-stream DML window rides like any
     other. Oracle: the LWW replay minus the delete predicate's matches —
     replica state must equal source state."""
-    from pyspark.sql import functions as F
-
-    from biomedica_etl_spark.cdc.feed import ImageFeedCursor
-    from biomedica_etl_spark.cdc.merge import mor_apply_batch
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor, replicate_window
     from biomedica_etl_spark.cdc.runner import CdcRunner
     from biomedica_etl_spark.cdc.table import CowTable
 
@@ -432,27 +429,11 @@ def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = CowTable(os.path.join(work, "rep"), n_buckets=8)
     rep.create()
 
-    def pump() -> None:
-        out = cur.poll(spark, src.table)
-        if out is None:
-            return
-        df, token = out
-        ev = (
-            df.filter(F.col("_change_type") != "update_preimage")
-            .select(
-                F.col("_lsn").alias("lsn"),
-                F.when(F.col("_change_type") == "delete", "D")
-                .otherwise("U").alias("op"),
-                "conv_id", "turn_idx", "role", "text", "tool", "ts")
-        )
-        mor_apply_batch(spark, rep, ev, batch_id=token, pre_reduced=True)
-        cur.commit(token)
-
     src.run(max_batches=2)
-    pump()
+    replicate_window(spark, cur, src.table, rep)
     src.run()
     src.delete_where(_DELETE_PRED_SPARK)
-    pump()
+    replicate_window(spark, cur, src.table, rep)
     return rep.read(spark).orderBy("conv_id", "turn_idx")
 
 

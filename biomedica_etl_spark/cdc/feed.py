@@ -20,7 +20,9 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from .schema import PAYLOAD_COLS
 from .table import CowTable
 
 
@@ -137,6 +139,58 @@ class ImageFeedCursor:
         ``snapshot_id``)."""
         self._write(snapshot_id)
         self._pending = None
+
+
+def replicate_window(spark: SparkSession, cursor: ImageFeedCursor,
+                     src: CowTable, dst: CowTable) -> dict[str, Any] | None:
+    """One exactly-once replication cycle: poll the next image window from
+    ``src``, apply it to ``dst`` through the ordinary merge path, commit
+    the cursor. Returns ``None`` when the cursor is at the head.
+
+    The window's images are re-expressed as change events — postimages
+    and inserts as ``op='U'`` at their winning LSN, deletes as ``op='D'``
+    (pre-images dropped; the feed's net semantics make the remaining rows
+    one-per-key, so the apply skips the identity LWW reduce) — and
+    committed with ``batch_id = the window token``. That makes the
+    poll-apply-commit cycle exactly-once END TO END across consumer
+    crashes: a crash after the apply but before the cursor commit
+    re-serves the same window, whose batch id is already committed on
+    ``dst``, so the replayed apply FENCES to a no-op (zero new snapshots)
+    and only the cursor advances. ``dst`` must be maintained solely by
+    this replication stream (single-writer; window tokens are the batch-id
+    namespace).
+
+    The result dict carries ``token`` and ``fenced`` (True when the apply
+    was a replayed no-op)."""
+    from .merge import mor_apply_batch
+
+    out = cursor.poll(spark, src)
+    if out is None:
+        return None
+    df, token = out
+    ev = (
+        df.filter(F.col("_change_type") != "update_preimage")
+        .select(
+            F.col("_lsn").alias("lsn"),
+            F.when(F.col("_change_type") == "delete", "D")
+            .otherwise("U").alias("op"),
+            *PAYLOAD_COLS)
+    )
+    res = mor_apply_batch(spark, dst, ev, batch_id=token, pre_reduced=True)
+    cursor.commit(token)
+    return {"token": token, "fenced": res is None}
+
+
+def replicate_until_drained(spark: SparkSession, cursor: ImageFeedCursor,
+                            src: CowTable, dst: CowTable) -> list[dict]:
+    """Drain the feed into ``dst``: repeat ``replicate_window`` until the
+    cursor reaches the head. Returns the per-window results."""
+    results = []
+    while True:
+        r = replicate_window(spark, cursor, src, dst)
+        if r is None:
+            return results
+        results.append(r)
 
 
 def apply_images(state: dict[tuple, dict], rows: list[Any]) -> None:

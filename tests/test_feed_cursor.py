@@ -162,3 +162,62 @@ def test_cursor_uninitialized_poll_raises(spark, tmp_path):
     cur = ImageFeedCursor(str(tmp_path / "cursor"))
     with pytest.raises(ValueError, match="initialize"):
         cur.poll(spark, runner.table)
+
+
+def test_replicate_window_is_exactly_once_across_consumer_crash(
+        spark, tmp_path):
+    """replicate_window: the poll-apply-commit cycle fences a replayed
+    window — a crash between the dst apply and the cursor commit adds
+    ZERO new snapshots on replay, and the drained replica equals the
+    source across ingest + DML windows."""
+    from biomedica_etl_spark.cdc.feed import (replicate_until_drained,
+                                              replicate_window)
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    src = CdcRunner(spark, log, str(tmp_path / "src"), n_buckets=8,
+                    mode="mor")
+    src.table.create()
+    cur = ImageFeedCursor(str(tmp_path / "cursor"))
+    cur.initialize(src.table)
+    rep = CowTable(str(tmp_path / "rep"), n_buckets=8)
+    rep.create()
+
+    src.run(max_batches=2)
+    r = replicate_window(spark, cur, src.table, rep)
+    assert r is not None and not r["fenced"]
+
+    # crash simulation: poll + apply land on dst, but the consumer dies
+    # before cursor.commit — a fresh cursor object re-serves the window
+    src.run(max_batches=1)
+    out = cur.poll(spark, src.table)
+    assert out is not None
+    df, token = out
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor as _C
+    from biomedica_etl_spark.cdc.merge import mor_apply_batch
+    from pyspark.sql import functions as F
+    ev = (df.filter(F.col("_change_type") != "update_preimage")
+          .select(F.col("_lsn").alias("lsn"),
+                  F.when(F.col("_change_type") == "delete", "D")
+                  .otherwise("U").alias("op"),
+                  "conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    assert mor_apply_batch(spark, rep, ev, batch_id=token,
+                           pre_reduced=True) is not None
+    # consumer crashed here; restart with durable state only
+    cur2 = _C(str(tmp_path / "cursor"))
+    n_snaps = len(rep.snapshots())
+    r = replicate_window(spark, cur2, src.table, rep)
+    assert r is not None and r["fenced"] and r["token"] == token
+    assert len(rep.snapshots()) == n_snaps  # replay added nothing
+
+    # drain the rest (remaining ingest + a DML window)
+    src.run()
+    src.delete_where("turn_idx % 6 = 1")
+    results = replicate_until_drained(spark, cur2, src.table, rep)
+    assert results and not any(x["fenced"] for x in results)
+    assert replicate_until_drained(spark, cur2, src.table, rep) == []
+
+    want = sorted(map(tuple, src.table.read(spark).collect()))
+    got = sorted(map(tuple, rep.read(spark).collect()))
+    assert got == want
