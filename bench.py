@@ -185,6 +185,15 @@ def run_cdc_section(spark, workdir: str) -> dict:
             # predicate DML on the just-built bench-scale table: one
             # O(live) LWW-resolved scan + O(matched) tombstone/upsert layer
             pre_dml_snap = runner.table.current_snapshot()["snapshot_id"]
+            # inverted-index bootstrap over the bench-scale live table
+            # (full tokenize + shard write), timed before the DML commits
+            # so the incremental refresh below consumes a real DML window
+            from biomedica_etl_spark.cdc.index import TokenIndex
+
+            idx = TokenIndex(os.path.join(workdir, "tokidx"), n_shards=64)
+            t_ib = time.time()
+            idx.refresh(spark, runner.table)
+            index_bootstrap_sec = time.time() - t_ib
             t2 = time.time()
             runner.delete_where("turn_idx % 11 = 5")
             dml_delete_sec = time.time() - t2
@@ -213,10 +222,33 @@ def run_cdc_section(spark, workdir: str) -> dict:
             runner.table.read_changes_with_images(
                 spark, pre_dml_snap).count()
             images_sec = time.time() - t5
+            # incremental index refresh across the three DML windows:
+            # O(changes) feed + affected-shard-only rewrite
+            t6 = time.time()
+            ires = idx.refresh(spark, runner.table)
+            index_refresh_sec = time.time() - t6
+            assert ires["mode"] == "incremental", ires
+            # steady-state number: a SMALL window (one conversation
+            # touched) — refresh cost must track the window, not the
+            # index (O(changes) delta append, no existing posting read)
+            one_conv = runner.table.read(spark, columns=[]) \
+                .select("conv_id").first()["conv_id"]
+            runner.update_where(f"conv_id = '{one_conv}'",
+                                {"text": "concat(text, ' benchtok')"})
+            t7 = time.time()
+            ires2 = idx.refresh(spark, runner.table)
+            index_refresh_small_sec = time.time() - t7
+            assert ires2["mode"] == "incremental", ires2
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
                   f"merge={dml_merge_sec:.1f}s "
-                  f"images={images_sec:.1f}s", file=sys.stderr)
+                  f"images={images_sec:.1f}s "
+                  f"idx_boot={index_bootstrap_sec:.1f}s "
+                  f"idx_refresh={index_refresh_sec:.1f}s "
+                  f"(delta shards {ires['shards_delta']}/64) "
+                  f"idx_refresh_small={index_refresh_small_sec:.1f}s "
+                  f"(delta shards {ires2['shards_delta']}/64)",
+                  file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
               f"steal={steal_pct:.1f}%", file=sys.stderr)
@@ -261,6 +293,9 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "dml_update_sec": round(dml_update_sec, 3),
         "dml_merge_sec": round(dml_merge_sec, 3),
         "images_sec": round(images_sec, 3),
+        "index_bootstrap_sec": round(index_bootstrap_sec, 3),
+        "index_refresh_sec": round(index_refresh_sec, 3),
+        "index_refresh_small_sec": round(index_refresh_small_sec, 3),
     }
 
 
@@ -316,6 +351,9 @@ def main() -> None:
     queries["cdc_update_where"] = cdc["dml_update_sec"]
     queries["cdc_merge_into"] = cdc["dml_merge_sec"]
     queries["cdc_change_images"] = cdc["images_sec"]
+    queries["cdc_index_bootstrap"] = cdc["index_bootstrap_sec"]
+    queries["cdc_index_refresh"] = cdc["index_refresh_sec"]
+    queries["cdc_index_refresh_small"] = cdc["index_refresh_small_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

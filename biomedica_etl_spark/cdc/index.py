@@ -2,41 +2,58 @@
 
 A search-index maintainer is the canonical CDF consumer that NEEDS row
 images: when a turn's text changes, the index must retract the OLD text's
-postings (tokens the new text no longer contains) and add the new ones —
-information the live table alone cannot provide without a full rescan.
+postings — information the live table cannot provide without a rescan.
 ``TokenIndex`` keeps a postings table ``(token, conv_id, turn_idx, tf)``
-in sync with a ``CowTable`` by consuming ``read_changes_with_images``:
+in sync with a ``CowTable`` by consuming ``read_changes_with_images``,
+and is ITSELF a merge-on-read table over postings — the same LSM
+discipline the main table uses for conversations, because the same
+read-amplification argument applies:
 
-- postings are hash-sharded on ``pmod(xxhash64(token), n_shards)`` — the
-  same hidden-partitioning discipline as the main table's conv_id buckets,
-  with the same driver-side pure-Python hash twin for O(1) shard pruning
-  on lookups (no Spark job to locate a term's shard);
-- a refresh rewrites ONLY the shards touched by the window's tokens
-  (pre-image AND post-image tokens — both sides name every shard whose
-  postings can change); every other shard's files are carried forward BY
-  REFERENCE in the version manifest. Refresh cost is
-  O(changes + affected-shard postings), never O(index);
-- state versions are immutable shard directories + an atomic pointer
-  file — the engine's own commit discipline — so a crash mid-refresh
-  leaves the previous version intact and a replayed refresh converges to
-  the identical state (the fold is a pure function of
-  (old postings, image window));
+- postings are hash-sharded on ``pmod(xxhash64(token), n_shards)`` with
+  the driver-side pure-Python hash twin for jobless shard pruning on term
+  lookups;
+- a refresh NEVER rewrites existing postings. It appends one O(changes)
+  delta layer per touched shard: additions ``(token, key, tf, seq)`` from
+  the post-images, and per-``(token, key)`` tombstones (``tf = 0``) from
+  the pre-image/delete tokens. This matters because a window touching a
+  small fraction of KEYS routinely touches most of the VOCABULARY (hash
+  sharding spreads any broad vocabulary over every shard — measured at
+  bench scale: a 3-commit DML window hit 64/64 shards), so a
+  rewrite-affected-shards design degenerates to rewriting the whole
+  index on every refresh; the delta-layer design stays O(changes)
+  regardless of vocabulary spread;
+- reads resolve layers per ``(token, conv_id, turn_idx)`` by the highest
+  ``(seq, tf)`` — ``seq`` is the refresh sequence number, strictly
+  ordered, and the ``tf`` tie-break lets a same-window retraction and
+  re-addition of the same token coexist in one layer (the addition
+  wins). Winners with ``tf = 0`` are dropped. Shards that hold a single
+  base layer skip the resolve entirely (the bootstrap/compaction fast
+  path);
+- per-shard layer counts are bounded: ``refresh`` folds any shard whose
+  layer list exceeds ``compact_at`` into one base layer (tombstones
+  dropped — seqs are strictly ordered, nothing below can resurrect),
+  touching only those shards. The exact trade the main table's tiered
+  minor folds make;
+- state versions are immutable layer directories + an atomic pointer
+  file; a crash mid-refresh leaves the previous version intact and a
+  replayed refresh converges to the identical state;
 - when the commit chain since the cursor is not feed-serveable (COW
   rewrite, major compaction, rollback — the feed's documented resync
   contract), ``refresh`` falls back to a full rebuild at the target
-  snapshot, exactly like any external CDF subscriber. Minor folds are
-  served transparently and never force a rebuild.
+  snapshot. Minor folds of the SOURCE table serve transparently and
+  never force a rebuild.
 
-Scale story at the 10^10-row design point: the steady-state refresh reads
-the O(changes) image feed (payload pruned to ``text``), explodes to
-tokens (one generated-column explode, no UDF), and joins only the
-affected shards' postings — a bounded fraction of the index chosen by the
-window's own vocabulary. The bootstrap is one full scan + one shuffle on
-(token, key), both linear.
+Scale story at the 10^10-row design point: steady-state refresh = one
+O(changes) image-feed read (payload pruned to ``text``), one
+generated-column explode + hash aggregate, one partitioned append —
+no read of existing postings at all; maintenance cost is amortized and
+per-shard; term lookups prune to their shards driver-side and
+row-group-prune on token-sorted files.
 
 Reference analogue: the reference rebuilds derived search structure by
 re-running the whole extract chain (``scripts/02_extract_media.py``
-re-filters everything); here the derived structure advances in O(changes).
+re-filters everything); here the derived structure advances in
+O(changes).
 
 Tokenization is deliberately SQL-expressible (lower + split on
 non-alphanumeric runs, empty tokens dropped, per-row term frequency) so
@@ -70,6 +87,10 @@ POSTING_SCHEMA = T.StructType([
     T.StructField("tf", T.LongType()),
 ])
 
+# stored layer rows additionally carry the refresh sequence number
+_STORED_SCHEMA = T.StructType(
+    POSTING_SCHEMA.fields + [T.StructField("seq", T.LongType())])
+
 
 def shard_of(token: str, n_shards: int) -> int:
     """Driver-side shard of a token — bit-identical to the Spark-side
@@ -89,17 +110,19 @@ def postings_of(df: DataFrame, n_shards: int) -> DataFrame:
             .alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token", "conv_id", "turn_idx")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
     )
 
 
 class TokenIndex:
-    """Sharded inverted index, advanced in O(changes) from the image feed."""
+    """Sharded merge-on-read inverted index, advanced in O(changes)."""
 
-    def __init__(self, root: str, n_shards: int = 16) -> None:
+    def __init__(self, root: str, n_shards: int = 16,
+                 compact_at: int = 8) -> None:
         self.root = root
         self.n_shards = n_shards
+        self.compact_at = compact_at
         os.makedirs(root, exist_ok=True)
 
     # --- manifest -------------------------------------------------------
@@ -118,25 +141,28 @@ class TokenIndex:
         ptr = self._pointer()
         return None if ptr is None else ptr["snapshot_id"]
 
-    def shard_dirs(self) -> dict[int, str]:
-        """Current shard -> relative-dir map (absent shard = empty)."""
+    def shard_layers(self) -> dict[int, list[dict[str, Any]]]:
+        """shard -> ordered layer list; each layer is ``{"p": relpath,
+        "base": bool}`` (base = bootstrap/compaction output: unique keys,
+        no tombstones). Absent shard = empty."""
         ptr = self._pointer()
         if ptr is None:
             return {}
         return {int(k): v for k, v in ptr["shards"].items()}
 
-    def _flip(self, snapshot_id: int, shards: dict[int, str]) -> None:
+    def _flip(self, snapshot_id: int, shards: dict[int, list[dict]],
+              seq: int) -> None:
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"snapshot_id": int(snapshot_id),
+            json.dump({"snapshot_id": int(snapshot_id), "seq": int(seq),
                        "shards": {str(k): v for k, v in shards.items()}}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._pointer_path())
         # GC: single-writer discipline — after the atomic flip every
-        # shard dir the new manifest does not reference (superseded
+        # layer dir the new manifest does not reference (superseded
         # versions and crash orphans alike) is garbage
-        referenced = set(shards.values())
+        referenced = {lay["p"] for lays in shards.values() for lay in lays}
         for entry in os.listdir(self.root):
             cont = os.path.join(self.root, entry)
             if not (entry.startswith("d-") and os.path.isdir(cont)):
@@ -154,18 +180,48 @@ class TokenIndex:
 
     # --- reads ----------------------------------------------------------
 
+    def _read_layers(self, spark: SparkSession,
+                     paths: list[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], _STORED_SCHEMA)
+        return spark.read.schema(_STORED_SCHEMA).parquet(
+            *[os.path.join(self.root, p) for p in sorted(paths)])
+
+    @staticmethod
+    def _resolve(raw: DataFrame) -> DataFrame:
+        """Winner per (token, key) = highest (seq, tf); drop tombstones.
+        The tf tie-break makes a same-seq retraction + re-addition of the
+        same token resolve to the addition, so one delta layer per window
+        suffices (no within-window anti-join)."""
+        return (
+            raw.groupBy("token", "conv_id", "turn_idx")
+            .agg(F.max_by(F.col("tf"),
+                          F.struct(F.col("seq"), F.col("tf"))).alias("tf"))
+            .filter(F.col("tf") > 0)
+        )
+
     def read(self, spark: SparkSession,
              shards: list[int] | None = None) -> DataFrame:
-        """The postings, optionally pruned to a shard list. Reading the
-        shard dirs directly (no discovery over the root) keeps a pruned
-        lookup's file listing proportional to the shards it touches."""
-        dirs = self.shard_dirs()
+        """The resolved postings, optionally pruned to a shard list.
+        Shards holding a single base layer are served directly (no
+        shuffle — the common state after bootstrap or compaction); only
+        multi-layer shards pay the resolve."""
+        lays = self.shard_layers()
         if shards is not None:
-            dirs = {k: v for k, v in dirs.items() if k in shards}
-        paths = [os.path.join(self.root, v) for v in sorted(dirs.values())]
-        if not paths:
+            lays = {k: v for k, v in lays.items() if k in shards}
+        direct = [v[0]["p"] for v in lays.values()
+                  if len(v) == 1 and v[0]["base"]]
+        layered = [lay["p"] for v in lays.values()
+                   if not (len(v) == 1 and v[0]["base"]) for lay in v]
+        out = None
+        if direct:
+            out = self._read_layers(spark, direct).drop("seq")
+        if layered:
+            res = self._resolve(self._read_layers(spark, layered))
+            out = res if out is None else out.unionByName(res)
+        if out is None:
             return spark.createDataFrame([], POSTING_SCHEMA)
-        return spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+        return out
 
     def lookup(self, spark: SparkSession, tokens: list[str]) -> DataFrame:
         """Postings of the given terms. Shards computed DRIVER-side with
@@ -177,19 +233,18 @@ class TokenIndex:
         return self.read(spark, shards=shards).filter(
             F.col("token").isin(list(tokens)))
 
-    # --- refresh --------------------------------------------------------
+    # --- writes ---------------------------------------------------------
 
-    def _write_shards(self, postings: DataFrame,
-                      candidates: list[int]) -> dict[int, str]:
-        """Write postings into a fresh immutable container dir, one
-        subdirectory per shard, files sorted by token (then key) so term
-        lookups row-group-prune. Returns shard -> relative path for the
-        shards that actually produced rows (an affected shard whose
-        postings all vanished simply drops out of the manifest)."""
+    def _write_layer(self, stored: DataFrame,
+                     n_partitions: int) -> dict[int, str]:
+        """Write stored rows (with shard + seq) into a fresh immutable
+        container dir, one subdirectory per shard, files sorted by token
+        (then key) so term lookups row-group-prune. Returns shard ->
+        relative path for the shards that produced rows."""
         cont = f"d-{uuid.uuid4().hex}"
         out = os.path.join(self.root, cont)
-        (postings
-         .repartition(max(len(candidates), 1), "shard")
+        (stored
+         .repartition(max(n_partitions, 1), "shard")
          .sortWithinPartitions("shard", "token", "conv_id", "turn_idx")
          .write.partitionBy("shard").parquet(out))
         written: dict[int, str] = {}
@@ -198,13 +253,16 @@ class TokenIndex:
                 written[int(sub.split("=", 1)[1])] = f"{cont}/{sub}"
         return written
 
+    # --- refresh --------------------------------------------------------
+
     def refresh(self, spark: SparkSession, table: CowTable) -> dict[str, Any]:
         """Advance the index to the table's current snapshot.
 
         Bootstrap (no cursor) and the resync fallback rebuild every shard
-        from one pruned full scan; the steady state consumes the image
-        window and rewrites only the shards its tokens (old and new) live
-        in, carrying every other shard forward by reference."""
+        from one pruned full scan; the steady state appends one O(changes)
+        delta layer across the touched shards — existing postings are
+        never read, let alone rewritten — then folds any shard whose
+        layer count exceeds ``compact_at``."""
         snap = table.current_snapshot()
         if snap is None:
             raise ValueError("table has no snapshots; create() it first")
@@ -227,58 +285,82 @@ class TokenIndex:
         # the cursor being recorded
         posts = postings_of(
             table.read(spark, snapshot_id=target, columns=["text"]),
-            self.n_shards)
-        shards = self._write_shards(posts, list(range(self.n_shards)))
-        self._flip(target, shards)
+            self.n_shards).withColumn("seq", F.lit(0).cast("long"))
+        written = self._write_layer(posts, self.n_shards)
+        self._flip(target, {k: [{"p": p, "base": True}]
+                            for k, p in written.items()}, seq=0)
         return {"refreshed": True, "cursor": target,
                 "mode": "bootstrap" if cur is None else "rebuild",
-                "shards_written": len(shards)}
+                "shards_written": len(written)}
 
     def _refresh_incremental(self, spark: SparkSession, imgs: DataFrame,
                              target: int) -> dict[str, Any]:
-        imgs = imgs.persist()
-        try:
-            # every shard whose postings can change is named by a token in
-            # the window — post-image tokens (additions) AND pre-image /
-            # delete tokens (retractions of the old text). Bounded
-            # driver-side list, at most n_shards values.
-            window_posts = postings_of(imgs, self.n_shards)
-            affected = sorted(
-                r["shard"]
-                for r in window_posts.select("shard").distinct().collect())
-            changed_keys = (
-                imgs.select(
-                    "conv_id",
-                    F.col("turn_idx").cast("long").alias("turn_idx"))
-                .distinct())
-            adds = postings_of(
-                imgs.filter(F.col("_change_type")
-                            .isin("insert", "update_postimage")),
-                self.n_shards)
-            if not affected:
-                # keys changed but no side carried a token (null/empty
-                # text throughout) — no posting can differ
-                self._flip(target, self.shard_dirs())
-                return {"refreshed": True, "cursor": target,
-                        "mode": "incremental", "shards_affected": 0}
-            # drop EVERY posting of a changed key within the affected
-            # shards (its old tokens all live there, by construction),
-            # then add the new rows' postings
-            old = self.read(spark, shards=affected).withColumn(
-                "shard", F.pmod(F.xxhash64("token"), F.lit(self.n_shards)))
-            merged = (
-                old.join(changed_keys, ["conv_id", "turn_idx"], "left_anti")
-                .unionByName(adds)
-            )
-            written = self._write_shards(merged, affected)
-            shards = self.shard_dirs()
-            for s in affected:
-                shards.pop(s, None)
-            shards.update(written)
-            self._flip(target, shards)
-            return {"refreshed": True, "cursor": target,
-                    "mode": "incremental",
-                    "shards_affected": len(affected),
-                    "shards_carried": self.n_shards - len(affected)}
-        finally:
-            imgs.unpersist()
+        ptr = self._pointer()
+        seq = ptr["seq"] + 1
+        # ONE pass over the feed: additions from the post-images,
+        # tombstones (tf=0) for every pre-image/delete token of a changed
+        # key — the exact (token, key) pairs whose postings must retract,
+        # known only from row images. A union of two filtered subtrees
+        # would compute the feed (before-side bucket reads + join) twice;
+        # grouping on the add/remove side instead keeps it one job.
+        tokens = (
+            imgs.select(
+                "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("_change_type").isin("insert", "update_postimage")
+                .alias("is_add"),
+                F.explode(F.split(F.lower(F.col("text")), TOKEN_SPLIT))
+                .alias("token"))
+            .filter(F.col("token") != ""))
+        delta = (
+            tokens.groupBy("token", "conv_id", "turn_idx", "is_add")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .select(
+                "token", "conv_id", "turn_idx",
+                F.when(F.col("is_add"), F.col("_n"))
+                .otherwise(F.lit(0)).cast("long").alias("tf"),
+                F.pmod(F.xxhash64("token"), F.lit(self.n_shards))
+                .alias("shard"),
+                F.lit(seq).cast("long").alias("seq"))
+        )
+        written = self._write_layer(delta, self.n_shards)
+        shards = self.shard_layers()
+        for s, p in written.items():
+            shards.setdefault(s, []).append({"p": p, "base": False})
+        self._flip(target, shards, seq=seq)
+        over = [s for s, lays in shards.items()
+                if len(lays) > self.compact_at]
+        folded = self.compact_shards(spark, over) if over else 0
+        return {"refreshed": True, "cursor": target, "mode": "incremental",
+                "shards_delta": len(written), "shards_folded": folded}
+
+    # --- maintenance ----------------------------------------------------
+
+    def compact_shards(self, spark: SparkSession,
+                       shards: list[int]) -> int:
+        """Fold the given shards' layer stacks into one base layer each
+        (resolve winners, drop tombstones — safe: seqs are strictly
+        ordered refreshes, nothing below a winner can resurrect). Touches
+        ONLY the named shards; every other shard's layers are carried
+        forward untouched. Returns the number of shards folded."""
+        ptr = self._pointer()
+        if ptr is None or not shards:
+            return 0
+        lays = self.shard_layers()
+        targets = [s for s in shards if s in lays]
+        if not targets:
+            return 0
+        paths = [lay["p"] for s in targets for lay in lays[s]]
+        resolved = (
+            self._resolve(self._read_layers(spark, paths))
+            .withColumn("shard",
+                        F.pmod(F.xxhash64("token"), F.lit(self.n_shards)))
+            .withColumn("seq", F.lit(ptr["seq"]).cast("long"))
+        )
+        written = self._write_layer(resolved, len(targets))
+        for s in targets:
+            if s in written:
+                lays[s] = [{"p": written[s], "base": True}]
+            else:
+                lays.pop(s, None)  # every posting tombstoned away
+        self._flip(ptr["snapshot_id"], lays, seq=ptr["seq"])
+        return len(targets)
