@@ -38,9 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # same bytes: the generator is seeded numpy + pyarrow (no Spark, no wall
 # clock), so whichever side materializes it first produces identical files.
 _ENTRY_CDC_LOG = os.path.join(tempfile.gettempdir(), "spark-graft-entry-cdc-log")
+# side-B log for the materialized-join queries: SAME conv universe
+# (n_convs), different seed/shape, so the key spaces overlap heavily
+_ENTRY_CDC_LOG_B = _ENTRY_CDC_LOG + "-b"
 
 
-def _ensure_entry_log() -> str:
+def _ensure_log(path: str, cfg) -> str:
     """Generate into a unique temp dir, then atomically rename to the fixed
     path: two racing processes (Spark run vs DuckDB oracle run) or a
     leftover half-written dir from a killed run can never leave partial
@@ -50,29 +53,43 @@ def _ensure_entry_log() -> str:
     import shutil
     import uuid
 
-    from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+    from biomedica_etl_spark.cdc.generator import generate_change_log
 
-    if not os.path.exists(os.path.join(_ENTRY_CDC_LOG, "_meta.json")):
-        stage = _ENTRY_CDC_LOG + f".stage-{uuid.uuid4().hex}"
-        generate_change_log(
-            stage,
-            GeneratorConfig(n_events=5_000, batch_size=1_000, n_convs=50,
-                            zipf_a=1.2, duplicate_frac=0.02, out_of_order=True),
-        )
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        stage = path + f".stage-{uuid.uuid4().hex}"
+        generate_change_log(stage, cfg)
         # a dir WITHOUT _meta.json is a dead partial from a killed run
         # (complete generations end with _meta.json); move it aside so the
         # rename target is free — never delete a complete one
-        if (os.path.isdir(_ENTRY_CDC_LOG)
-                and not os.path.exists(os.path.join(_ENTRY_CDC_LOG, "_meta.json"))):
+        if (os.path.isdir(path)
+                and not os.path.exists(os.path.join(path, "_meta.json"))):
             try:
-                os.rename(_ENTRY_CDC_LOG, _ENTRY_CDC_LOG + f".dead-{uuid.uuid4().hex}")
+                os.rename(path, path + f".dead-{uuid.uuid4().hex}")
             except OSError:
                 pass  # another process already moved/replaced it
         try:
-            os.rename(stage, _ENTRY_CDC_LOG)
+            os.rename(stage, path)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)  # loser of the race
-    return _ENTRY_CDC_LOG
+    return path
+
+
+def _ensure_entry_log() -> str:
+    from biomedica_etl_spark.cdc.generator import GeneratorConfig
+
+    return _ensure_log(
+        _ENTRY_CDC_LOG,
+        GeneratorConfig(n_events=5_000, batch_size=1_000, n_convs=50,
+                        zipf_a=1.2, duplicate_frac=0.02, out_of_order=True))
+
+
+def _ensure_entry_log_b() -> str:
+    from biomedica_etl_spark.cdc.generator import GeneratorConfig
+
+    return _ensure_log(
+        _ENTRY_CDC_LOG_B,
+        GeneratorConfig(seed=7, n_events=4_000, batch_size=800, n_convs=50,
+                        zipf_a=0.8, duplicate_frac=0.02, out_of_order=True))
 
 
 def _cdc_apply_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,6 +454,126 @@ def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.read(spark).orderBy("conv_id", "turn_idx")
 
 
+def _cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned time travel as a query: build the table from the
+    first two log batches, tag that snapshot, then churn the table hard
+    (remaining ingest + a predicate delete) — and read back THROUGH THE
+    TAG. The pinned read must be byte-stable against everything that
+    landed after it. Oracle: the LWW replay restricted to batch_id < 2
+    via the log's hive partitioning."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-travel-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=2)
+    runner.table.set_tag("audit")
+    runner.run()
+    runner.delete_where(_DELETE_PRED_SPARK)
+    pinned = runner.table.ref("audit")
+    return (runner.table.read(spark, snapshot_id=pinned)
+            .orderBy("conv_id", "turn_idx"))
+
+
+def _cdc_time_travel_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true,
+                             hive_partitioning = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+    AND CAST(batch_id AS BIGINT) < 2
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized JOIN view as a query: two
+    independently-ingesting CDC tables over the same conversation
+    universe (B annotates A's turns), view = A inner-join B on
+    (conv_id, turn_idx) materialized and bootstrapped MID-STREAM, then
+    advanced incrementally across further ingest on both sides plus a
+    predicate delete on A — O(changes of both feeds) per refresh, the
+    unchanged side answered by bucket-pruned pinned point reads. Oracle:
+    DuckDB joins the two LWW replays from scratch."""
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.view import JoinView
+
+    log_a = _ensure_entry_log()
+    log_b = _ensure_entry_log_b()
+    work = tempfile.mkdtemp(prefix="cdc-joinview-")
+    ra = CdcRunner(spark, log_a, os.path.join(work, "ta"), n_buckets=8,
+                   mode="mor")
+    rb = CdcRunner(spark, log_b, os.path.join(work, "tb"), n_buckets=8,
+                   mode="mor")
+    ra.run(max_batches=3)
+    rb.run(max_batches=2)
+    view = JoinView(os.path.join(work, "view"), n_shards=8)
+    view.refresh(spark, ra.table, rb.table)      # bootstrap mid-stream
+    ra.run()
+    rb.run()
+    ra.delete_where(_DELETE_PRED_SPARK)
+    res = view.refresh(spark, ra.table, rb.table)
+    assert res["mode"] == "incremental", res
+    return view.read(spark).orderBy("conv_id", "turn_idx")
+
+
+def _cdc_join_view_oracle_sql() -> str:
+    _ensure_entry_log()
+    _ensure_entry_log_b()
+    glob_a = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    glob_b = os.path.join(_ENTRY_CDC_LOG_B, "*", "*", "*.parquet")
+    return f"""
+WITH raw_a AS (
+  SELECT * FROM read_parquet('{glob_a}', union_by_name = true)
+),
+ranked_a AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw_a
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+),
+live_a AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked_a WHERE rn = 1 AND op <> 'D'
+    AND NOT {_DELETE_PRED_SQL}
+),
+raw_b AS (
+  SELECT * FROM read_parquet('{glob_b}', union_by_name = true)
+),
+ranked_b AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw_b
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+),
+live_b AS (
+  SELECT conv_id, turn_idx, text AS note
+  FROM ranked_b WHERE rn = 1 AND op <> 'D'
+)
+SELECT a.conv_id, a.turn_idx, a.role, a.text, a.tool, a.ts, b.note
+FROM live_a a JOIN live_b b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ORDER BY a.conv_id, a.turn_idx
+"""
+
+
 def _cdc_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (TimescaleDB-rollup-style) as a query: build
     the table from the deterministic log, refresh the incrementally-
@@ -523,6 +660,8 @@ _PRIORITY_ORDER = (
     "cdc_rollup_counts",
     "cdc_token_index",
     "cdc_feed_replica",
+    "cdc_join_view",
+    "cdc_time_travel",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -585,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_rollup_counts"] = _cdc_rollup_counts
     out["cdc_token_index"] = _cdc_token_index
     out["cdc_feed_replica"] = _cdc_feed_replica
+    out["cdc_join_view"] = _cdc_join_view
+    out["cdc_time_travel"] = _cdc_time_travel
     return _reorder(out)
 
 
@@ -602,4 +743,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
     out["cdc_token_index"] = _cdc_token_index_oracle_sql()
     out["cdc_feed_replica"] = _cdc_delete_where_oracle_sql()
+    out["cdc_join_view"] = _cdc_join_view_oracle_sql()
+    out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
     return _reorder(out)

@@ -194,6 +194,17 @@ def run_cdc_section(spark, workdir: str) -> dict:
             t_ib = time.time()
             idx.refresh(spark, runner.table)
             index_bootstrap_sec = time.time() - t_ib
+            # materialized join view over the bench-scale table (self-join
+            # shape: both sides the same table — the maintenance plan is
+            # identical to a two-table view and the bench avoids paying a
+            # second table build); bootstrapped before the DML commits so
+            # the refresh below advances across real mixed windows
+            from biomedica_etl_spark.cdc.view import JoinView
+
+            jv = JoinView(os.path.join(workdir, "joinview"), n_shards=64)
+            t_vb = time.time()
+            jv.refresh(spark, runner.table, runner.table)
+            view_bootstrap_sec = time.time() - t_vb
             t2 = time.time()
             runner.delete_where("turn_idx % 11 = 5")
             dml_delete_sec = time.time() - t2
@@ -239,6 +250,13 @@ def run_cdc_section(spark, workdir: str) -> dict:
             ires2 = idx.refresh(spark, runner.table)
             index_refresh_small_sec = time.time() - t7
             assert ires2["mode"] == "incremental", ires2
+            # join-view incremental refresh across every DML window above:
+            # O(changes) on both feeds, changed side riding the images,
+            # unchanged side bucket-pruned pinned point reads
+            t8 = time.time()
+            vres = jv.refresh(spark, runner.table, runner.table)
+            view_refresh_sec = time.time() - t8
+            assert vres["mode"] == "incremental", vres
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
                   f"merge={dml_merge_sec:.1f}s "
@@ -247,7 +265,9 @@ def run_cdc_section(spark, workdir: str) -> dict:
                   f"idx_refresh={index_refresh_sec:.1f}s "
                   f"(delta shards {ires['shards_delta']}/64) "
                   f"idx_refresh_small={index_refresh_small_sec:.1f}s "
-                  f"(delta shards {ires2['shards_delta']}/64)",
+                  f"(delta shards {ires2['shards_delta']}/64) "
+                  f"view_boot={view_bootstrap_sec:.1f}s "
+                  f"view_refresh={view_refresh_sec:.1f}s",
                   file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
@@ -296,6 +316,8 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "index_bootstrap_sec": round(index_bootstrap_sec, 3),
         "index_refresh_sec": round(index_refresh_sec, 3),
         "index_refresh_small_sec": round(index_refresh_small_sec, 3),
+        "view_bootstrap_sec": round(view_bootstrap_sec, 3),
+        "view_refresh_sec": round(view_refresh_sec, 3),
     }
 
 
@@ -354,6 +376,8 @@ def main() -> None:
     queries["cdc_index_bootstrap"] = cdc["index_bootstrap_sec"]
     queries["cdc_index_refresh"] = cdc["index_refresh_sec"]
     queries["cdc_index_refresh_small"] = cdc["index_refresh_small_sec"]
+    queries["cdc_join_view_bootstrap"] = cdc["view_bootstrap_sec"]
+    queries["cdc_join_view_refresh"] = cdc["view_refresh_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
