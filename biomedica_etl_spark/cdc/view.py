@@ -320,6 +320,15 @@ class JoinView:
                              db: DataFrame | None) -> dict[str, Any]:
         ptr = self._pointer()
         seq = ptr["seq"] + 1
+        # the net windows are O(changes) and each feeds several consumers
+        # below (key sets, anti-joins, the lookup key broadcast, the final
+        # union) — without a persist Spark re-derives the whole image-feed
+        # plan (after-side reduce + before-side bucket reads + join) once
+        # per consumer
+        if da is not None:
+            da = da.persist()
+        if db is not None:
+            db = db.persist()
         keys_a = (da.select("conv_id", "turn_idx") if da is not None
                   else None)
         keys_b = (db.select("conv_id", "turn_idx") if db is not None
@@ -374,6 +383,9 @@ class JoinView:
             .withColumn("shard", self._shard_col())
         )
         written = self._write_layer(delta, self.n_shards)
+        for side in (da, db):
+            if side is not None:
+                side.unpersist()
         shards = self.shard_layers()
         for s, p in written.items():
             shards.setdefault(s, []).append({"p": p, "base": False})
