@@ -454,6 +454,51 @@ def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.read(spark).orderBy("conv_id", "turn_idx")
 
 
+def _cdc_delete_by_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated DELETE (GDPR-erasure shape) as a query: build the
+    table, bootstrap the inverted index mid-stream, then delete every
+    live row whose text contains the token — the matched-key set comes
+    from a shard-pruned index lookup plus an O(changes) refresh, NEVER an
+    O(live rows) predicate scan (pinned by test), and the tombstones ride
+    the ordinary DML merge path. Oracle: the LWW replay minus rows whose
+    tokenization contains the token."""
+    from biomedica_etl_spark.cdc.index import TokenIndex
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-idxdel-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=2)
+    idx = TokenIndex(os.path.join(work, "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)     # bootstrap mid-stream
+    runner.run()                         # the delete's refresh is incremental
+    idx.delete_matching(spark, runner.table, ["t3"])
+    return runner.final_state()
+
+
+def _cdc_delete_by_token_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+  AND NOT list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 't3')
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned time travel as a query: build the table from the
     first two log batches, tag that snapshot, then churn the table hard
@@ -662,6 +707,7 @@ _PRIORITY_ORDER = (
     "cdc_feed_replica",
     "cdc_join_view",
     "cdc_time_travel",
+    "cdc_delete_by_token",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -726,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_feed_replica"] = _cdc_feed_replica
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_time_travel"] = _cdc_time_travel
+    out["cdc_delete_by_token"] = _cdc_delete_by_token
     return _reorder(out)
 
 
@@ -745,4 +792,5 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_feed_replica"] = _cdc_delete_where_oracle_sql()
     out["cdc_join_view"] = _cdc_join_view_oracle_sql()
     out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
+    out["cdc_delete_by_token"] = _cdc_delete_by_token_oracle_sql()
     return _reorder(out)

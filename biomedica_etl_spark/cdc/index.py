@@ -333,6 +333,78 @@ class TokenIndex:
         return {"refreshed": True, "cursor": target, "mode": "incremental",
                 "shards_delta": len(written), "shards_folded": folded}
 
+    # --- index-accelerated DML -------------------------------------------
+
+    def delete_matching(self, spark: SparkSession, table: CowTable,
+                        tokens: list[str], mode: str = "mor",
+                        batch_id: int | None = None,
+                        refresh: bool = True,
+                        **dml_kw: Any) -> dict[str, Any] | None:
+        """Index-accelerated DELETE (the GDPR-erasure / takedown shape):
+        tombstone every live row whose text contains ANY of ``tokens`` —
+        **O(matched + changes since the index cursor)** end to end,
+        never an O(live rows) predicate scan.
+
+        ``delete_where("text LIKE ...")`` must read every live row
+        because the predicate has to see current winners; this path
+        replaces that scan with the inverted index: ``refresh`` advances
+        the index O(changes) off the image feed, the term ``lookup``
+        prunes driver-side to the tokens' shards (and row-group-prunes
+        on token-sorted files), and the matched keys go straight into
+        op='D' tombstones at a fresh LSN through the SAME merge path as
+        every other DML — exactly-once under ``batch_id``, change-feed
+        visible, O(matched) MOR layer or COW bucket rewrite. The index
+        is exact at the head after the refresh (it IS the live state's
+        tokenization), so the key set equals the predicate's matches; a
+        stale cursor with ``refresh=False`` raises rather than deleting
+        against an old view of the table. No table read happens at all
+        (pinned by test): tombstones need keys only, payloads are typed
+        nulls, and LWW makes tombstoning an already-dead key harmless.
+
+        Reference analogue: the reference handles takedowns by re-running
+        the whole filter chain over the corpus
+        (``scripts/02_extract_media.py``); here it is index lookup +
+        O(matched) commit.
+        """
+        from .merge import _apply_dml
+        from .schema import KEY_COLS, PAYLOAD_COLS, PAYLOAD_FIELDS
+
+        if batch_id is not None and table.is_committed(batch_id):
+            return None
+        if refresh:
+            self.refresh(spark, table)
+        head = table.current_snapshot()["snapshot_id"]
+        if self.cursor() != head:
+            raise ValueError(
+                f"index cursor {self.cursor()} is behind table head "
+                f"{head}; refresh the index (or pass refresh=True)")
+        delete_lsn = 1 + max(
+            (s["lsn_hi"] for s in table.snapshots()
+             if s.get("lsn_hi") is not None),
+            default=0,
+        )
+        types = dict(PAYLOAD_FIELDS)
+        changes = (
+            self.lookup(spark, tokens)
+            .select(*KEY_COLS).distinct()
+            .select(
+                F.lit(delete_lsn).alias("lsn"),
+                F.lit("D").alias("op"),
+                *KEY_COLS,
+                *[F.lit(None).cast(types[c]).alias(c)
+                  for c in PAYLOAD_COLS if c not in KEY_COLS],
+            )
+        )
+        return _apply_dml(
+            spark, table, changes, mode, batch_id,
+            dml_kw.pop("salted", False), dml_kw.pop("n_salts", 8),
+            dml_kw.pop("lineage_dir", None),
+            dml_kw.pop("plan", "aligned"),
+            dml_kw.pop("shuffle_salts", 4),
+            dml_kw.pop("lineage_executor", None),
+            dml_kw.pop("max_records_per_file", 0),
+        )
+
     # --- maintenance ----------------------------------------------------
 
     def compact_shards(self, spark: SparkSession,

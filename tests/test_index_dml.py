@@ -1,0 +1,105 @@
+"""Index-accelerated DELETE — TokenIndex.delete_matching.
+
+The GDPR-erasure shape: the matched-key set comes from the inverted
+index (shard-pruned lookup), NOT from an O(live rows) predicate scan —
+pinned by failing any ``CowTable.read``/``read_raw`` during the delete.
+End state must equal the from-scratch token predicate applied to the
+live table; exactly-once under batch_id; stale index refuses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+from biomedica_etl_spark.cdc.index import TOKEN_SPLIT, TokenIndex
+from biomedica_etl_spark.cdc.runner import CdcRunner
+from biomedica_etl_spark.cdc.table import CowTable
+
+CFG = GeneratorConfig(n_events=3_000, batch_size=750, n_convs=40,
+                      zipf_a=1.2, duplicate_frac=0.02, out_of_order=True)
+
+
+def _live_minus_tokens(spark, table, tokens):
+    """Oracle: live rows whose tokenization contains none of the tokens."""
+    toks = F.array_except(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), F.array(F.lit("")))
+    keep = table.read(spark).filter(
+        F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in tokens])))
+        == 0)
+    return sorted(map(tuple, keep.collect()))
+
+
+def _state(spark, table):
+    return sorted(map(tuple, table.read(spark).collect()))
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_delete_matching_equals_predicate_oracle(spark, tmp_path, mode):
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode=mode)
+    runner.run(max_batches=2)
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)
+    runner.run()
+    if mode == "mor":
+        runner.update_where("role = 'system'",
+                            {"text": "concat(text, ' zapme')"})
+        tokens = ["zapme", "t3"]
+    else:
+        tokens = ["t3", "t7"]
+    want = _live_minus_tokens(spark, runner.table, tokens)
+    res = idx.delete_matching(spark, runner.table, tokens, mode=mode)
+    assert res is not None
+    assert _state(spark, runner.table) == want
+    # the index retracts the deleted rows' postings on its next refresh
+    idx.refresh(spark, runner.table)
+    assert idx.lookup(spark, tokens).count() == 0
+
+
+def test_delete_never_scans_the_table(spark, tmp_path, monkeypatch):
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor")
+    runner.run()
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)
+    want = _live_minus_tokens(spark, runner.table, ["t2"])
+
+    def _no_read(*a, **kw):
+        raise AssertionError("index-accelerated delete must not read the table")
+
+    monkeypatch.setattr(CowTable, "read", _no_read)
+    monkeypatch.setattr(CowTable, "read_raw", _no_read)
+    res = idx.delete_matching(spark, runner.table, ["t2"], refresh=False)
+    assert res is not None
+    monkeypatch.undo()
+    assert _state(spark, runner.table) == want
+
+
+def test_exactly_once_and_stale_refusal(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=3)
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)
+    # ingest past the index cursor: refresh=False must refuse
+    runner.run()
+    with pytest.raises(ValueError, match="behind table head"):
+        idx.delete_matching(spark, runner.table, ["t1"], refresh=False)
+    # with refresh it proceeds, and a replay under the same id fences
+    snaps_0 = len(runner.table.snapshots())
+    res = idx.delete_matching(spark, runner.table, ["t1"],
+                              batch_id=9_200_001)
+    assert res is not None
+    state = _state(spark, runner.table)
+    assert idx.delete_matching(spark, runner.table, ["t1"],
+                               batch_id=9_200_001) is None
+    assert _state(spark, runner.table) == state
+    assert len(runner.table.snapshots()) == snaps_0 + 1
