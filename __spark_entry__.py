@@ -544,6 +544,123 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 key-version history as a query: the append-only LSN-ordered
+    version chain (cdc/history.py) maintained O(changes) from the raw
+    feed across staged mid-stream refreshes plus a predicate DELETE —
+    valid_from/valid_to interval endpoints derived at read by one
+    lead()-over-key window, tombstone versions closing the deleted keys'
+    intervals. Oracle: per-(key, batch) LWW winners (ingest reduces each
+    micro-batch before storing it) deduped by (key, lsn), plus the
+    delete's tombstones at 1+max(lsn), endpoints by lead()."""
+    from biomedica_etl_spark.cdc.history import HistoryTable
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-history-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    hist = HistoryTable(os.path.join(work, "hist"), n_shards=8)
+    hist.refresh(spark, runner.table)   # attach at the empty table
+    runner.run(max_batches=2)
+    hist.refresh(spark, runner.table)   # incremental window 1
+    runner.run()
+    hist.refresh(spark, runner.table)   # incremental window 2
+    runner.delete_where(_DELETE_PRED_SPARK)
+    hist.refresh(spark, runner.table)   # DML window -> tombstone versions
+    return (hist.read(spark)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+                    "valid_from", "valid_to", "deleted", "is_current")
+            .orderBy("conv_id", "turn_idx", "valid_from"))
+
+
+def _cdc_key_history_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{glob_path}', union_by_name = true,
+                                        hive_partitioning = true)),
+valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, lsn, CAST(batch_id AS BIGINT) AS batch_id
+  FROM raw WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL),
+bw AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id,
+  turn_idx, batch_id ORDER BY lsn DESC) AS rn FROM valid) WHERE rn = 1),
+versions AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id,
+  turn_idx, lsn ORDER BY batch_id) AS rn2 FROM bw) WHERE rn2 = 1),
+final AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id,
+  turn_idx ORDER BY lsn DESC) AS rnf FROM versions) WHERE rnf = 1 AND op <> 'D'),
+dels AS (SELECT conv_id, turn_idx, CAST(NULL AS VARCHAR) AS role,
+                CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS tool,
+                CAST(NULL AS TIMESTAMP) AS ts,
+                (SELECT 1 + max(lsn) FROM valid) AS lsn, 'D' AS op
+         FROM final WHERE {_DELETE_PRED_SQL}),
+allv AS (
+  -- stored rows carry the event payload VERBATIM (the log's 'D' events
+  -- null role/text/tool but keep ts; delete_where's synthesized
+  -- tombstones null everything)
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op FROM versions
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op FROM dels)
+SELECT conv_id, turn_idx, role, text, tool, ts, lsn AS valid_from,
+       lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+         AS valid_to,
+       (op = 'D') AS deleted,
+       (lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) IS NULL
+        AND op <> 'D') AS is_current
+FROM allv ORDER BY conv_id, turn_idx, valid_from
+"""
+
+
+_AS_OF_LSN = 2_500  # mid-stream: inside batch 2 of the 5-batch entry log
+
+
+def _cdc_as_of_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level time travel at an arbitrary LSN — finer than snapshot
+    granularity and independent of snapshot retention: the history's
+    as_of(L) must equal the LWW replay over stored versions with
+    lsn <= L, even AFTER every old table snapshot is expired (the
+    query expires them to prove it). Oracle: the replay restricted to
+    lsn <= L at stored-version (per-batch winner) granularity."""
+    from biomedica_etl_spark.cdc.history import HistoryTable
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-asof-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    hist = HistoryTable(os.path.join(work, "hist"), n_shards=8)
+    hist.refresh(spark, runner.table)
+    runner.run()
+    hist.refresh(spark, runner.table)
+    runner.table.expire_snapshots(keep_last=1)  # history must not care
+    return (hist.as_of(spark, _AS_OF_LSN)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .orderBy("conv_id", "turn_idx"))
+
+
+def _cdc_as_of_lsn_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{glob_path}', union_by_name = true,
+                                        hive_partitioning = true)),
+valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, lsn, CAST(batch_id AS BIGINT) AS batch_id
+  FROM raw WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL),
+bw AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id,
+  turn_idx, batch_id ORDER BY lsn DESC) AS rn FROM valid) WHERE rn = 1)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rnf
+  FROM bw WHERE lsn <= {_AS_OF_LSN}) WHERE rnf = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized JOIN view as a query: two
     independently-ingesting CDC tables over the same conversation
@@ -708,6 +825,8 @@ _PRIORITY_ORDER = (
     "cdc_join_view",
     "cdc_time_travel",
     "cdc_delete_by_token",
+    "cdc_key_history",
+    "cdc_as_of_lsn",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -773,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_time_travel"] = _cdc_time_travel
     out["cdc_delete_by_token"] = _cdc_delete_by_token
+    out["cdc_key_history"] = _cdc_key_history
+    out["cdc_as_of_lsn"] = _cdc_as_of_lsn
     return _reorder(out)
 
 
@@ -793,4 +914,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_join_view"] = _cdc_join_view_oracle_sql()
     out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
     out["cdc_delete_by_token"] = _cdc_delete_by_token_oracle_sql()
+    out["cdc_key_history"] = _cdc_key_history_oracle_sql()
+    out["cdc_as_of_lsn"] = _cdc_as_of_lsn_oracle_sql()
     return _reorder(out)

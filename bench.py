@@ -205,6 +205,14 @@ def run_cdc_section(spark, workdir: str) -> dict:
             t_vb = time.time()
             jv.refresh(spark, runner.table, runner.table)
             view_bootstrap_sec = time.time() - t_vb
+            # SCD2 version history over the bench-scale table: bootstrap =
+            # one winner-granularity opening layer from the live state
+            from biomedica_etl_spark.cdc.history import HistoryTable
+
+            hist = HistoryTable(os.path.join(workdir, "hist"), n_shards=64)
+            t_hb = time.time()
+            hist.refresh(spark, runner.table)
+            history_bootstrap_sec = time.time() - t_hb
             t2 = time.time()
             runner.delete_where("turn_idx % 11 = 5")
             dml_delete_sec = time.time() - t2
@@ -257,6 +265,13 @@ def run_cdc_section(spark, workdir: str) -> dict:
             vres = jv.refresh(spark, runner.table, runner.table)
             view_refresh_sec = time.time() - t8
             assert vres["mode"] == "incremental", vres
+            # history incremental refresh across the same DML windows:
+            # one O(changes) raw-feed read + sharded append, zero
+            # existing-history bytes touched
+            t9 = time.time()
+            hres = hist.refresh(spark, runner.table)
+            history_refresh_sec = time.time() - t9
+            assert hres["source"] == "feed", hres
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
                   f"merge={dml_merge_sec:.1f}s "
@@ -267,7 +282,9 @@ def run_cdc_section(spark, workdir: str) -> dict:
                   f"idx_refresh_small={index_refresh_small_sec:.1f}s "
                   f"(delta shards {ires2['shards_delta']}/64) "
                   f"view_boot={view_bootstrap_sec:.1f}s "
-                  f"view_refresh={view_refresh_sec:.1f}s",
+                  f"view_refresh={view_refresh_sec:.1f}s "
+                  f"hist_boot={history_bootstrap_sec:.1f}s "
+                  f"hist_refresh={history_refresh_sec:.1f}s",
                   file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
@@ -318,6 +335,8 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "index_refresh_small_sec": round(index_refresh_small_sec, 3),
         "view_bootstrap_sec": round(view_bootstrap_sec, 3),
         "view_refresh_sec": round(view_refresh_sec, 3),
+        "history_bootstrap_sec": round(history_bootstrap_sec, 3),
+        "history_refresh_sec": round(history_refresh_sec, 3),
     }
 
 
@@ -378,6 +397,8 @@ def main() -> None:
     queries["cdc_index_refresh_small"] = cdc["index_refresh_small_sec"]
     queries["cdc_join_view_bootstrap"] = cdc["view_bootstrap_sec"]
     queries["cdc_join_view_refresh"] = cdc["view_refresh_sec"]
+    queries["cdc_history_bootstrap"] = cdc["history_bootstrap_sec"]
+    queries["cdc_history_refresh"] = cdc["history_refresh_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
