@@ -499,6 +499,54 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_update_by_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated UPDATE (redaction shape) as a query: matched
+    keys from a shard-pruned term lookup, payload read bucket-pruned to
+    exactly those keys' buckets (native Arrow fold + LEFT SEMI — pinned
+    by test), full-row op='U' events through the ordinary DML merge
+    path. Oracle: the LWW replay with the rewrite applied to every row
+    whose tokenization contains the token."""
+    from biomedica_etl_spark.cdc.index import TokenIndex
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-idxupd-")
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor")
+    runner.run(max_batches=2)
+    idx = TokenIndex(os.path.join(work, "idx"), n_shards=16)
+    idx.refresh(spark, runner.table)     # bootstrap mid-stream
+    runner.run()                         # the update's refresh is incremental
+    idx.update_matching(spark, runner.table, ["t4"],
+                        {"text": "concat(text, ' [redacted]')"})
+    return runner.final_state()
+
+
+def _cdc_update_by_token_oracle_sql() -> str:
+    _ensure_entry_log()
+    glob_path = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{glob_path}', union_by_name = true)
+),
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+         op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY lsn DESC) AS rn
+  FROM raw
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN list_contains(
+                string_split_regex(lower(text), '[^a-z0-9]+'), 't4')
+            THEN text || ' [redacted]' ELSE text END AS text,
+       tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned time travel as a query: build the table from the
     first two log batches, tag that snapshot, then churn the table hard
@@ -825,6 +873,7 @@ _PRIORITY_ORDER = (
     "cdc_join_view",
     "cdc_time_travel",
     "cdc_delete_by_token",
+    "cdc_update_by_token",
     "cdc_key_history",
     "cdc_as_of_lsn",
     # round-4 additions (driver has never seen these names)
@@ -892,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_time_travel"] = _cdc_time_travel
     out["cdc_delete_by_token"] = _cdc_delete_by_token
+    out["cdc_update_by_token"] = _cdc_update_by_token
     out["cdc_key_history"] = _cdc_key_history
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn
     return _reorder(out)
@@ -914,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_join_view"] = _cdc_join_view_oracle_sql()
     out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
     out["cdc_delete_by_token"] = _cdc_delete_by_token_oracle_sql()
+    out["cdc_update_by_token"] = _cdc_update_by_token_oracle_sql()
     out["cdc_key_history"] = _cdc_key_history_oracle_sql()
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn_oracle_sql()
     return _reorder(out)

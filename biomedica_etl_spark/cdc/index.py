@@ -366,34 +366,20 @@ class TokenIndex:
         (``scripts/02_extract_media.py``); here it is index lookup +
         O(matched) commit.
         """
-        from .merge import _apply_dml
+        from .merge import _apply_dml, _fresh_lsn
         from .schema import KEY_COLS, PAYLOAD_COLS, PAYLOAD_FIELDS
 
         if batch_id is not None and table.is_committed(batch_id):
             return None
-        if refresh:
-            self.refresh(spark, table)
-        head = table.current_snapshot()["snapshot_id"]
-        if self.cursor() != head:
-            raise ValueError(
-                f"index cursor {self.cursor()} is behind table head "
-                f"{head}; refresh the index (or pass refresh=True)")
-        delete_lsn = 1 + max(
-            (s["lsn_hi"] for s in table.snapshots()
-             if s.get("lsn_hi") is not None),
-            default=0,
-        )
+        keys = self._matched_keys(spark, table, tokens, refresh)
+        delete_lsn = _fresh_lsn(table)
         types = dict(PAYLOAD_FIELDS)
-        changes = (
-            self.lookup(spark, tokens)
-            .select(*KEY_COLS).distinct()
-            .select(
-                F.lit(delete_lsn).alias("lsn"),
-                F.lit("D").alias("op"),
-                *KEY_COLS,
-                *[F.lit(None).cast(types[c]).alias(c)
-                  for c in PAYLOAD_COLS if c not in KEY_COLS],
-            )
+        changes = keys.select(
+            F.lit(delete_lsn).alias("lsn"),
+            F.lit("D").alias("op"),
+            *KEY_COLS,
+            *[F.lit(None).cast(types[c]).alias(c)
+              for c in PAYLOAD_COLS if c not in KEY_COLS],
         )
         return _apply_dml(
             spark, table, changes, mode, batch_id,
@@ -404,6 +390,96 @@ class TokenIndex:
             dml_kw.pop("lineage_executor", None),
             dml_kw.pop("max_records_per_file", 0),
         )
+
+    def _matched_keys(self, spark: SparkSession, table: CowTable,
+                      tokens: list[str], refresh: bool) -> DataFrame:
+        """The distinct keys whose text contains any of ``tokens``, from
+        the index (exact at the head after a refresh). A stale cursor with
+        ``refresh=False`` raises rather than running DML against an old
+        view of the table."""
+        from .schema import KEY_COLS
+
+        if refresh:
+            self.refresh(spark, table)
+        head = table.current_snapshot()["snapshot_id"]
+        if self.cursor() != head:
+            raise ValueError(
+                f"index cursor {self.cursor()} is behind table head "
+                f"{head}; refresh the index (or pass refresh=True)")
+        return self.lookup(spark, tokens).select(*KEY_COLS).distinct()
+
+    def update_matching(self, spark: SparkSession, table: CowTable,
+                        tokens: list[str], assignments: dict[str, Any],
+                        mode: str = "mor",
+                        batch_id: int | None = None,
+                        refresh: bool = True,
+                        **dml_kw: Any) -> dict[str, Any] | None:
+        """Index-accelerated UPDATE (the redaction / targeted-fix-up
+        shape): rewrite every live row whose text contains ANY of
+        ``tokens`` with ``assignments`` (Column or SQL-string exprs over
+        the row's current values, same contract as ``update_where``) —
+        **O(matched + changes since the index cursor)** end to end.
+
+        ``update_where`` must scan every live row to evaluate its
+        predicate; here the matched-key set comes from the shard-pruned
+        term lookup, and the payload read (updates need current values,
+        unlike deletes) touches ONLY the matched keys' buckets: the
+        bucket list is a bounded driver-side collect (<= n_buckets ints),
+        the read rides the native Arrow fold (one partition per bucket,
+        zero shuffle), and a LEFT SEMI against the matched keys makes it
+        exact inside those buckets. A 100-row redaction against a
+        10^10-row table reads ~100 point rows, not the table. Full-row
+        op='U' events commit at a fresh LSN through the ordinary DML
+        merge path — exactly-once under ``batch_id``, change-feed
+        visible, O(matched) MOR layer or COW bucket rewrite.
+
+        Reference analogue: the reference's record fix-ups re-run the
+        whole annotate stage over every record
+        (``scripts/05_json_to_entrez.py:324-330``); here a targeted
+        fix-up is index lookup + O(matched) read + O(matched) commit.
+        """
+        from .merge import (_apply_dml, _assignment_value, _fresh_lsn,
+                            _native_live_read, _validate_assignments)
+        from .schema import KEY_COLS, PAYLOAD_COLS, target_change_schema
+        from .table import bucket_expr
+
+        _validate_assignments(assignments)
+        if batch_id is not None and table.is_committed(batch_id):
+            return None
+        # the lookup is used twice (bucket collect + semi join): persist
+        # so the shard read + resolve runs once
+        keys = self._matched_keys(spark, table, tokens, refresh).persist()
+        try:
+            buckets = sorted(
+                r["b"] for r in keys.select(
+                    bucket_expr(KEY_COLS[0], table.n_buckets).alias("b"))
+                .distinct().collect())
+            update_lsn = _fresh_lsn(table)
+            if buckets:
+                tgt = _native_live_read(spark, table, buckets=buckets)
+                changes = (
+                    tgt.join(keys, on=KEY_COLS, how="left_semi")
+                    .select(
+                        F.lit(update_lsn).alias("lsn"),
+                        F.lit("U").alias("op"),
+                        *KEY_COLS,
+                        *[_assignment_value(assignments, c).alias(c)
+                          for c in PAYLOAD_COLS if c not in KEY_COLS],
+                    )
+                )
+            else:  # no term matches: commit an empty (fenced) batch
+                changes = spark.createDataFrame([], target_change_schema())
+            return _apply_dml(
+                spark, table, changes, mode, batch_id,
+                dml_kw.pop("salted", False), dml_kw.pop("n_salts", 8),
+                dml_kw.pop("lineage_dir", None),
+                dml_kw.pop("plan", "aligned"),
+                dml_kw.pop("shuffle_salts", 4),
+                dml_kw.pop("lineage_executor", None),
+                dml_kw.pop("max_records_per_file", 0),
+            )
+        finally:
+            keys.unpersist()
 
     # --- maintenance ----------------------------------------------------
 

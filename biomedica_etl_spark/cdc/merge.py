@@ -1166,10 +1166,7 @@ def delete_where(
     if batch_id is not None and table.is_committed(batch_id):
         return None
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    delete_lsn = 1 + max(
-        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
-        default=0,
-    )
+    delete_lsn = _fresh_lsn(table)
     types = dict(PAYLOAD_FIELDS)
     # column pruning: the delete only needs keys out plus whatever the
     # predicate reads. For a SQL-string predicate, any real column
@@ -1197,6 +1194,51 @@ def delete_where(
     return _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
                       lineage_dir, plan, shuffle_salts, lineage_executor,
                       max_records_per_file)
+
+
+def _validate_assignments(assignments: dict[str, Any]) -> None:
+    """The UPDATE assignment contract, shared by every UPDATE-shaped path
+    (update_where, TokenIndex.update_matching): keys are immutable,
+    unknown columns refuse, and a python None is ambiguous (carry
+    through? set NULL?) — _assignment_value would silently carry the old
+    value, so make the intent explicit instead of no-opping."""
+    from .schema import PAYLOAD_COLS
+
+    bad = set(assignments) & set(KEY_COLS)
+    if bad:
+        raise ValueError(f"cannot assign key columns {sorted(bad)}; "
+                         "a key change is a delete + insert")
+    unknown = set(assignments) - set(PAYLOAD_COLS)
+    if unknown:
+        raise ValueError(f"unknown columns {sorted(unknown)}")
+    nones = sorted(c for c, v in assignments.items() if v is None)
+    if nones:
+        raise ValueError(
+            f"assignment value for {nones} is None; to set a column to "
+            "NULL use a SQL null expr, e.g. \"cast(null as string)\"")
+
+
+def _assignment_value(assignments: dict[str, Any], c: str):
+    """Assigned column -> its expr (Column or SQL string) cast to the
+    declared type; unassigned columns carry the row's current value."""
+    from .schema import PAYLOAD_FIELDS
+
+    v = assignments.get(c)
+    if v is None:
+        return F.col(c)
+    return (F.expr(v) if isinstance(v, str) else v).cast(
+        dict(PAYLOAD_FIELDS)[c])
+
+
+def _fresh_lsn(table: CowTable) -> int:
+    """An LSN strictly above every committed lsn_hi — the LSN all DML
+    commits write at, so a DML event beats every row it targets under
+    max-lsn resolution (driver-side metadata max, O(snapshots))."""
+    return 1 + max(
+        (s["lsn_hi"] for s in table.snapshots()
+         if s.get("lsn_hi") is not None),
+        default=0,
+    )
 
 
 def _native_live_read(spark, table, buckets=None, snapshot_id=None):
@@ -1295,43 +1337,18 @@ def update_where(
     assigning ``conv_id``/``turn_idx`` raises (a key change is a
     delete+insert, two intents this op refuses to guess).
     """
-    from .schema import PAYLOAD_FIELDS
-
-    bad = set(assignments) & set(KEY_COLS)
-    if bad:
-        raise ValueError(f"cannot assign key columns {sorted(bad)}; "
-                         "a key change is a delete + insert")
-    unknown = set(assignments) - set(PAYLOAD_COLS)
-    if unknown:
-        raise ValueError(f"unknown columns {sorted(unknown)}")
-    nones = sorted(c for c, v in assignments.items() if v is None)
-    if nones:
-        # a python None is ambiguous (carry through? set NULL?) and
-        # _value() would silently carry the old value — make the intent
-        # explicit instead of no-opping
-        raise ValueError(
-            f"assignment value for {nones} is None; to set a column to "
-            "NULL use a SQL null expr, e.g. \"cast(null as string)\"")
+    _validate_assignments(assignments)
     if batch_id is not None and table.is_committed(batch_id):
         return None
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    update_lsn = 1 + max(
-        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
-        default=0,
-    )
-    types = dict(PAYLOAD_FIELDS)
-
-    def _value(c: str):
-        v = assignments.get(c)
-        if v is None:
-            return F.col(c)
-        return (F.expr(v) if isinstance(v, str) else v).cast(types[c])
+    update_lsn = _fresh_lsn(table)
 
     changes = _native_live_read(spark, table).filter(pred).select(
         F.lit(update_lsn).alias("lsn"),
         F.lit("U").alias("op"),
         *KEY_COLS,
-        *[_value(c).alias(c) for c in PAYLOAD_COLS if c not in KEY_COLS],
+        *[_assignment_value(assignments, c).alias(c)
+          for c in PAYLOAD_COLS if c not in KEY_COLS],
     )
     return _apply_dml(spark, table, changes, mode, batch_id, salted, n_salts,
                       lineage_dir, plan, shuffle_salts, lineage_executor,
@@ -1467,10 +1484,7 @@ def merge_into(
         # "clause does not fire", not poison ~is_delete in the update branch
         return F.coalesce(e.cast("boolean"), F.lit(False))
 
-    merge_lsn = 1 + max(
-        (s["lsn_hi"] for s in table.snapshots() if s.get("lsn_hi") is not None),
-        default=0,
-    )
+    merge_lsn = _fresh_lsn(table)
     src_payload = [c for c in PAYLOAD_COLS
                    if c not in KEY_COLS and c in source.columns]
     extra_cols = [c for c in source.columns
