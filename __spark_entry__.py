@@ -709,6 +709,58 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_txn_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic commit as a query: two tables (one MOR, one
+    COW) each stage their final log batch (WAP — written, invisible),
+    then TransactionCoordinator.commit_all publishes BOTH through one
+    commit point (an atomic txn-record rename; crash anywhere after it
+    rolls forward, before it aborts). Returns both end states side by
+    side. Oracle: the two LWW replays UNION ALL'd — equal iff both
+    tables landed their staged batch exactly once."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.txn import TransactionCoordinator
+
+    log_a = _ensure_entry_log()
+    log_b = _ensure_entry_log_b()
+    work = tempfile.mkdtemp(prefix="cdc-txn-")
+    ra = CdcRunner(spark, log_a, os.path.join(work, "ta"), n_buckets=8,
+                   mode="mor")
+    rb = CdcRunner(spark, log_b, os.path.join(work, "tb"), n_buckets=8,
+                   mode="cow")
+    ra.run(max_batches=4)
+    rb.run(max_batches=4)
+    assert ra.stage_next_batch() is not None
+    assert rb.stage_next_batch() is not None
+    co = TransactionCoordinator(os.path.join(work, "txns"))
+    co.commit_all([ra.table, rb.table], "entry-txn")
+    a = ra.final_state().withColumn("side", F.lit("a"))
+    b = rb.final_state().withColumn("side", F.lit("b"))
+    return a.unionByName(b).orderBy("side", "conv_id", "turn_idx")
+
+
+def _cdc_txn_commit_oracle_sql() -> str:
+    _ensure_entry_log()
+    _ensure_entry_log_b()
+    glob_a = os.path.join(_ENTRY_CDC_LOG, "*", "*", "*.parquet")
+    glob_b = os.path.join(_ENTRY_CDC_LOG_B, "*", "*", "*.parquet")
+
+    def _replay(glob_path: str, side: str) -> str:
+        return f"""
+SELECT conv_id, turn_idx, role, text, tool, ts, '{side}' AS side FROM (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+         ts, op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY lsn DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name = true)
+  WHERE op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+) WHERE rn = 1 AND op <> 'D'"""
+
+    return (_replay(glob_a, "a") + "\nUNION ALL" + _replay(glob_b, "b")
+            + "\nORDER BY side, conv_id, turn_idx")
+
+
 def _cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized JOIN view as a query: two
     independently-ingesting CDC tables over the same conversation
@@ -874,6 +926,7 @@ _PRIORITY_ORDER = (
     "cdc_time_travel",
     "cdc_delete_by_token",
     "cdc_update_by_token",
+    "cdc_txn_commit",
     "cdc_key_history",
     "cdc_as_of_lsn",
     # round-4 additions (driver has never seen these names)
@@ -942,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_time_travel"] = _cdc_time_travel
     out["cdc_delete_by_token"] = _cdc_delete_by_token
     out["cdc_update_by_token"] = _cdc_update_by_token
+    out["cdc_txn_commit"] = _cdc_txn_commit
     out["cdc_key_history"] = _cdc_key_history
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn
     return _reorder(out)
@@ -965,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
     out["cdc_delete_by_token"] = _cdc_delete_by_token_oracle_sql()
     out["cdc_update_by_token"] = _cdc_update_by_token_oracle_sql()
+    out["cdc_txn_commit"] = _cdc_txn_commit_oracle_sql()
     out["cdc_key_history"] = _cdc_key_history_oracle_sql()
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn_oracle_sql()
     return _reorder(out)

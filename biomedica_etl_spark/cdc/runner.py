@@ -609,6 +609,33 @@ class CdcRunner:
             prune_buckets=prune_buckets,
         ))
 
+    def stage_next_batch(self) -> dict[str, Any] | None:
+        """Stage (write-audit-publish) the next pending log batch WITHOUT
+        publishing it — the participant half of a multi-table transaction
+        (``cdc/txn.py``): stage on every participant runner, then
+        ``TransactionCoordinator.commit_all`` publishes all-or-nothing.
+        Data is fully written (the ordinary O(delta) merge plan); readers,
+        fencing, and the snapshot chain see nothing until publication.
+        Returns the staged snapshot dict, or None when nothing is pending.
+        Lineage is deferred by the WAP contract — after the transaction
+        commits, ``reconcile_lineage()`` backfills it exactly."""
+        pend = self.pending()
+        if not pend:
+            return None
+        batch_id = pend[0]
+        schema_of = dict(planned_batches(self.log_dir))
+        changes = read_batch(self.spark, self.log_dir, batch_id,
+                             schema_of[batch_id], self.registry)
+        apply_fn = merge_batch if self.mode == "cow" else mor_apply_batch
+        return apply_fn(
+            self.spark, self.table, changes, batch_id,
+            salted=self.salted, n_salts=self.n_salts,
+            plan=self.plan, shuffle_salts=self.shuffle_salts,
+            quarantine_dir=self.quarantine_dir,
+            max_records_per_file=self.max_records_per_file,
+            wap=True,
+        )
+
     def final_state(self) -> DataFrame:
         """Live table ordered by the pass-gate stable ordering."""
         return self.table.read(self.spark).orderBy("conv_id", "turn_idx")
