@@ -63,10 +63,7 @@ reconstructable, at any LSN, from O(changes) maintenance.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -74,6 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schema import KEY_COLS, PAYLOAD_COLS, PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN
+from .shardstore import ShardedLayerStore
 from .table import CowTable
 from .xxhash import bucket_of
 
@@ -98,10 +96,12 @@ def shard_of_key(conv_id: str, n_shards: int) -> int:
     return bucket_of(conv_id, n_shards)
 
 
-class HistoryTable:
+class HistoryTable(ShardedLayerStore):
     """Append-only sharded version history, advanced in O(changes).
     Single-writer (one maintainer process), like the engine's other
-    derived tables."""
+    derived tables; layer entries are plain relpaths (the history never
+    tombstones, so no base/delta distinction) and storage mechanics live
+    in :class:`ShardedLayerStore`."""
 
     def __init__(self, root: str, n_shards: int = 16,
                  compact_at: int = 8) -> None:
@@ -112,61 +112,22 @@ class HistoryTable:
 
     # --- manifest -------------------------------------------------------
 
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, "pointer.json")
+    def _stored_schema(self) -> T.StructType:
+        return _STORED_SCHEMA
 
-    def _pointer(self) -> dict[str, Any] | None:
-        p = self._pointer_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+    def _sort_cols(self) -> list[str]:
+        return ["shard", "conv_id", "turn_idx", "valid_from"]
 
     def cursor(self) -> int | None:
         ptr = self._pointer()
         return None if ptr is None else ptr["snapshot_id"]
 
-    def shard_layers(self) -> dict[int, list[str]]:
-        ptr = self._pointer()
-        if ptr is None:
-            return {}
-        return {int(k): v for k, v in ptr["shards"].items()}
-
     def _flip(self, snapshot_id: int, shards: dict[int, list[str]],
               seq: int) -> None:
-        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": int(snapshot_id), "seq": int(seq),
-                       "shards": {str(k): v for k, v in shards.items()}}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._pointer_path())
-        # single-writer GC: layer dirs the new manifest no longer
-        # references (superseded fold inputs, crash orphans) are garbage
-        referenced = {p for ps in shards.values() for p in ps}
-        for entry in os.listdir(self.root):
-            cont = os.path.join(self.root, entry)
-            if not (entry.startswith("d-") and os.path.isdir(cont)):
-                continue
-            for sub in os.listdir(cont):
-                rel = f"{entry}/{sub}"
-                if sub.startswith("shard=") and rel not in referenced:
-                    shutil.rmtree(os.path.join(cont, sub),
-                                  ignore_errors=True)
-            if not os.listdir(cont):
-                try:
-                    os.rmdir(cont)
-                except OSError:
-                    pass
+        self._flip_pointer(
+            {"snapshot_id": int(snapshot_id), "seq": int(seq)}, shards)
 
     # --- reads ----------------------------------------------------------
-
-    def _read_layers(self, spark: SparkSession,
-                     paths: list[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], _STORED_SCHEMA)
-        return spark.read.schema(_STORED_SCHEMA).parquet(
-            *[os.path.join(self.root, p) for p in sorted(paths)])
 
     def read(self, spark: SparkSession,
              shards: list[int] | None = None) -> DataFrame:
@@ -220,19 +181,6 @@ class HistoryTable:
         return out
 
     # --- writes ---------------------------------------------------------
-
-    def _write_layer(self, stored: DataFrame) -> dict[int, str]:
-        cont = f"d-{uuid.uuid4().hex}"
-        out = os.path.join(self.root, cont)
-        (stored
-         .repartition(self.n_shards, "shard")
-         .sortWithinPartitions("shard", "conv_id", "turn_idx", "valid_from")
-         .write.partitionBy("shard").parquet(out))
-        written: dict[int, str] = {}
-        for sub in os.listdir(out):
-            if sub.startswith("shard="):
-                written[int(sub.split("=", 1)[1])] = f"{cont}/{sub}"
-        return written
 
     def _versions_from_feed(self, feed: DataFrame, seq: int) -> DataFrame:
         """Stored-row versions from the raw change feed: every row the

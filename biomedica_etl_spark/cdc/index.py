@@ -62,16 +62,14 @@ the DuckDB oracle can recompute the index from the replayed final state.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .shardstore import ShardedLayerStore
 from .table import CowTable
 from .xxhash import xxh64_signed
 
@@ -133,8 +131,11 @@ def _dml_call(spark: SparkSession, table: CowTable, changes: DataFrame,
     )
 
 
-class TokenIndex:
-    """Sharded merge-on-read inverted index, advanced in O(changes)."""
+class TokenIndex(ShardedLayerStore):
+    """Sharded merge-on-read inverted index, advanced in O(changes).
+    Layer entries are ``{"p": relpath, "base": bool}`` (base =
+    bootstrap/compaction output: unique keys, no tombstones); storage
+    mechanics live in :class:`ShardedLayerStore`."""
 
     def __init__(self, root: str, n_shards: int = 16,
                  compact_at: int = 8) -> None:
@@ -145,65 +146,23 @@ class TokenIndex:
 
     # --- manifest -------------------------------------------------------
 
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, "pointer.json")
+    def _stored_schema(self) -> T.StructType:
+        return _STORED_SCHEMA
 
-    def _pointer(self) -> dict[str, Any] | None:
-        p = self._pointer_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+    def _sort_cols(self) -> list[str]:
+        # token-major so term lookups row-group-prune on token stats
+        return ["shard", "token", "conv_id", "turn_idx"]
 
     def cursor(self) -> int | None:
         ptr = self._pointer()
         return None if ptr is None else ptr["snapshot_id"]
 
-    def shard_layers(self) -> dict[int, list[dict[str, Any]]]:
-        """shard -> ordered layer list; each layer is ``{"p": relpath,
-        "base": bool}`` (base = bootstrap/compaction output: unique keys,
-        no tombstones). Absent shard = empty."""
-        ptr = self._pointer()
-        if ptr is None:
-            return {}
-        return {int(k): v for k, v in ptr["shards"].items()}
-
     def _flip(self, snapshot_id: int, shards: dict[int, list[dict]],
               seq: int) -> None:
-        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": int(snapshot_id), "seq": int(seq),
-                       "shards": {str(k): v for k, v in shards.items()}}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._pointer_path())
-        # GC: single-writer discipline — after the atomic flip every
-        # layer dir the new manifest does not reference (superseded
-        # versions and crash orphans alike) is garbage
-        referenced = {lay["p"] for lays in shards.values() for lay in lays}
-        for entry in os.listdir(self.root):
-            cont = os.path.join(self.root, entry)
-            if not (entry.startswith("d-") and os.path.isdir(cont)):
-                continue
-            for sub in os.listdir(cont):
-                rel = f"{entry}/{sub}"
-                if sub.startswith("shard=") and rel not in referenced:
-                    shutil.rmtree(os.path.join(cont, sub),
-                                  ignore_errors=True)
-            if not os.listdir(cont):
-                try:
-                    os.rmdir(cont)
-                except OSError:
-                    pass
+        self._flip_pointer(
+            {"snapshot_id": int(snapshot_id), "seq": int(seq)}, shards)
 
     # --- reads ----------------------------------------------------------
-
-    def _read_layers(self, spark: SparkSession,
-                     paths: list[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], _STORED_SCHEMA)
-        return spark.read.schema(_STORED_SCHEMA).parquet(
-            *[os.path.join(self.root, p) for p in sorted(paths)])
 
     @staticmethod
     def _resolve(raw: DataFrame) -> DataFrame:
@@ -250,26 +209,6 @@ class TokenIndex:
         shards = sorted({shard_of(t, self.n_shards) for t in tokens})
         return self.read(spark, shards=shards).filter(
             F.col("token").isin(list(tokens)))
-
-    # --- writes ---------------------------------------------------------
-
-    def _write_layer(self, stored: DataFrame,
-                     n_partitions: int) -> dict[int, str]:
-        """Write stored rows (with shard + seq) into a fresh immutable
-        container dir, one subdirectory per shard, files sorted by token
-        (then key) so term lookups row-group-prune. Returns shard ->
-        relative path for the shards that produced rows."""
-        cont = f"d-{uuid.uuid4().hex}"
-        out = os.path.join(self.root, cont)
-        (stored
-         .repartition(max(n_partitions, 1), "shard")
-         .sortWithinPartitions("shard", "token", "conv_id", "turn_idx")
-         .write.partitionBy("shard").parquet(out))
-        written: dict[int, str] = {}
-        for sub in os.listdir(out):
-            if sub.startswith("shard="):
-                written[int(sub.split("=", 1)[1])] = f"{cont}/{sub}"
-        return written
 
     # --- refresh --------------------------------------------------------
 

@@ -57,10 +57,7 @@ set); here the joined view advances in O(changes).
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +65,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schema import PAYLOAD_COLS
+from .shardstore import ShardedLayerStore
 from .table import CowTable
 
 # A-side payload carried verbatim; B contributes `note` (its text).
@@ -93,10 +91,12 @@ _STORED_SCHEMA = T.StructType(
 _A_PAY = ["role", "text", "tool", "ts"]
 
 
-class JoinView:
+class JoinView(ShardedLayerStore):
     """Materialized ``A ⋈ B on (conv_id, turn_idx)``, maintained from both
     tables' image feeds. Single-writer (one maintainer process), like the
-    engine's other derived tables."""
+    engine's other derived tables; layer entries are ``{"p": relpath,
+    "base": bool}`` and storage mechanics live in
+    :class:`ShardedLayerStore`."""
 
     def __init__(self, root: str, n_shards: int = 16,
                  compact_at: int = 8) -> None:
@@ -107,15 +107,11 @@ class JoinView:
 
     # --- manifest (same atomic-pointer discipline as TokenIndex) ---------
 
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, "pointer.json")
+    def _stored_schema(self) -> T.StructType:
+        return _STORED_SCHEMA
 
-    def _pointer(self) -> dict[str, Any] | None:
-        p = self._pointer_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+    def _sort_cols(self) -> list[str]:
+        return ["shard", "conv_id", "turn_idx"]
 
     def cursors(self) -> tuple[int, int] | None:
         ptr = self._pointer()
@@ -123,48 +119,13 @@ class JoinView:
             return None
         return ptr["snapshot_a"], ptr["snapshot_b"]
 
-    def shard_layers(self) -> dict[int, list[dict[str, Any]]]:
-        ptr = self._pointer()
-        if ptr is None:
-            return {}
-        return {int(k): v for k, v in ptr["shards"].items()}
-
     def _flip(self, snap_a: int, snap_b: int,
               shards: dict[int, list[dict]], seq: int) -> None:
-        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_a": int(snap_a), "snapshot_b": int(snap_b),
-                       "seq": int(seq),
-                       "shards": {str(k): v for k, v in shards.items()}}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._pointer_path())
-        # single-writer: every layer dir the new manifest does not
-        # reference (superseded versions and crash orphans) is garbage
-        referenced = {lay["p"] for lays in shards.values() for lay in lays}
-        for entry in os.listdir(self.root):
-            cont = os.path.join(self.root, entry)
-            if not (entry.startswith("d-") and os.path.isdir(cont)):
-                continue
-            for sub in os.listdir(cont):
-                rel = f"{entry}/{sub}"
-                if sub.startswith("shard=") and rel not in referenced:
-                    shutil.rmtree(os.path.join(cont, sub),
-                                  ignore_errors=True)
-            if not os.listdir(cont):
-                try:
-                    os.rmdir(cont)
-                except OSError:
-                    pass
+        self._flip_pointer(
+            {"snapshot_a": int(snap_a), "snapshot_b": int(snap_b),
+             "seq": int(seq)}, shards)
 
     # --- reads ------------------------------------------------------------
-
-    def _read_layers(self, spark: SparkSession,
-                     paths: list[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], _STORED_SCHEMA)
-        return spark.read.schema(_STORED_SCHEMA).parquet(
-            *[os.path.join(self.root, p) for p in sorted(paths)])
 
     @staticmethod
     def _resolve(raw: DataFrame) -> DataFrame:
@@ -204,20 +165,6 @@ class JoinView:
         return out
 
     # --- writes -----------------------------------------------------------
-
-    def _write_layer(self, stored: DataFrame,
-                     n_partitions: int) -> dict[int, str]:
-        cont = f"d-{uuid.uuid4().hex}"
-        out = os.path.join(self.root, cont)
-        (stored
-         .repartition(max(n_partitions, 1), "shard")
-         .sortWithinPartitions("shard", "conv_id", "turn_idx")
-         .write.partitionBy("shard").parquet(out))
-        written: dict[int, str] = {}
-        for sub in os.listdir(out):
-            if sub.startswith("shard="):
-                written[int(sub.split("=", 1)[1])] = f"{cont}/{sub}"
-        return written
 
     def _shard_col(self):
         return F.pmod(F.xxhash64("conv_id"), F.lit(self.n_shards))
