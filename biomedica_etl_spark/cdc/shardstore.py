@@ -85,11 +85,18 @@ class ShardedLayerStore:
         os.rename(tmp, self._pointer_path())
         # GC: single-writer discipline — after the atomic flip every
         # layer dir the new manifest does not reference (superseded
-        # versions and crash orphans alike) is garbage
+        # versions and crash orphans alike) is garbage, as is any
+        # pointer tmp file left by a crash between write and rename
         referenced = {self._entry_path(lay)
                       for lays in shards.values() for lay in lays}
         for entry in os.listdir(self.root):
             cont = os.path.join(self.root, entry)
+            if entry.startswith("pointer.json.tmp-"):
+                try:
+                    os.unlink(cont)
+                except OSError:
+                    pass
+                continue
             if not (entry.startswith("d-") and os.path.isdir(cont)):
                 continue
             for sub in os.listdir(cont):
