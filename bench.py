@@ -137,7 +137,8 @@ def run_cdc_apply(
     spark, workdir: str, events: int = CDC_EVENTS, batches: int = CDC_BATCHES,
     compact_every: int = COMPACT_EVERY, pipeline_depth: int | None = None,
     async_compact: bool = False, compact_mode: str = "major",
-    fold_tier_bytes: int = 0,
+    fold_tier_bytes: int = 0, maintain: list | None = None,
+    maintain_every: int = 1, async_maintain: bool = False,
 ) -> tuple[float, int, "object"]:
     """Apply the full bench log; returns (seconds, events applied, runner)."""
     from biomedica_etl_spark.cdc.runner import CdcRunner
@@ -153,7 +154,9 @@ def run_cdc_apply(
                        shuffle_salts=SHUFFLE_SALTS, async_lineage=True,
                        pipeline_depth=depth if CDC_MODE == "mor" else 1,
                        async_compact=async_compact, compact_mode=compact_mode,
-                       fold_tier_bytes=fold_tier_bytes)
+                       fold_tier_bytes=fold_tier_bytes, maintain=maintain,
+                       maintain_every=maintain_every,
+                       async_maintain=async_maintain)
     t0 = time.time()
     runner.run()
     return time.time() - t0, n_rows, runner
@@ -319,6 +322,35 @@ def run_cdc_section(spark, workdir: str) -> dict:
         shutil.rmtree(os.path.join(workdir, f"s{i}"), ignore_errors=True)
         print(f"cdc sustained {i}: total={sec:.1f}s steal={steal_pct:.1f}%",
               file=sys.stderr)
+    # sustained ingest with DERIVED maintenance also in the loop: the
+    # inverted index refreshes on the async maintenance thread as batches
+    # commit (CdcRunner(maintain=)), concurrent with the applies and the
+    # tiered folds — end-to-end "table AND its index stay fresh" cost.
+    # The delta vs plain sustained is the price of continuous index
+    # freshness; the run asserts the index actually ends at head.
+    from biomedica_etl_spark.cdc.index import TokenIndex
+
+    sustained_idx = []
+    for i in range(2):
+        s0 = _steal_ticks()
+        t0 = time.time()
+        idx = TokenIndex(os.path.join(workdir, f"si{i}-idx"), n_shards=64)
+        sec, _, runner = run_cdc_apply(
+            spark, os.path.join(workdir, f"si{i}"),
+            compact_every=2, async_compact=True, compact_mode="minor",
+            fold_tier_bytes=-1,
+            maintain=[idx], maintain_every=2, async_maintain=True,
+        )
+        assert idx.cursor() == \
+            runner.table.current_snapshot()["snapshot_id"]
+        steal_pct = (_steal_ticks() - s0) / max(
+            (time.time() - t0) * 100 * HOST_CPUS, 1) * 100
+        sustained_idx.append({"total_sec": round(sec, 3),
+                              "steal_pct": round(steal_pct, 1)})
+        shutil.rmtree(os.path.join(workdir, f"si{i}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, f"si{i}-idx"), ignore_errors=True)
+        print(f"cdc sustained+index {i}: total={sec:.1f}s "
+              f"steal={steal_pct:.1f}%", file=sys.stderr)
     return {
         "events": cdc_events,
         "apply_sec": min(a["apply_sec"] for a in attempts),
@@ -326,6 +358,8 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "attempts": attempts,
         "sustained_sec": min(a["total_sec"] for a in sustained),
         "sustained_attempts": sustained,
+        "sustained_idx_sec": min(a["total_sec"] for a in sustained_idx),
+        "sustained_idx_attempts": sustained_idx,
         "dml_delete_sec": round(dml_delete_sec, 3),
         "dml_update_sec": round(dml_update_sec, 3),
         "dml_merge_sec": round(dml_merge_sec, 3),
@@ -419,8 +453,15 @@ def main() -> None:
                 "cdc_events_per_sec_sustained": round(
                     cdc_events / cdc["sustained_sec"], 1
                 ),
+                # ...and with continuous inverted-index maintenance on
+                # the async thread as well (CdcRunner(maintain=)): the
+                # table AND its search index both end at head
+                "cdc_events_per_sec_sustained_with_index": round(
+                    cdc_events / cdc["sustained_idx_sec"], 1
+                ),
                 "cdc_attempts": cdc["attempts"],
                 "cdc_sustained_attempts": cdc["sustained_attempts"],
+                "cdc_sustained_idx_attempts": cdc["sustained_idx_attempts"],
                 "cdc_pipeline_depth": CDC_PIPELINE,
                 "cpus": CPUS,
                 "cdc_cpus": CDC_CPUS,

@@ -113,6 +113,9 @@ class CdcRunner:
         compact_mode: str = "major",
         fold_plan: str = "auto",
         fold_tier_bytes: int = 0,
+        maintain: list[Any] | None = None,
+        maintain_every: int = 1,
+        async_maintain: bool = False,
     ) -> None:
         """mode='cow': read-optimized, each batch rewrites affected buckets.
         mode='mor': write-optimized (Iceberg-v2-style merge-on-read), each
@@ -210,6 +213,28 @@ class CdcRunner:
         self._maint_future: Any = None
         self._maint_table: CowTable | None = None
         self.compactions_run = 0
+        # derived-table maintenance riding the ingest loop: each entry is
+        # a maintainer — an object with .refresh(spark, table) (TokenIndex,
+        # HistoryTable, RollupTable) or a bare callable (spark, table) ->
+        # Any (e.g. a JoinView closed over its second table). Refreshes
+        # run after every ``maintain_every``-th applied batch, inline or
+        # (async_maintain) on a dedicated thread in the FAIR "maintenance"
+        # pool through its own table handle — the same
+        # ingest-never-stops-for-maintenance shape as async compaction.
+        # All refreshes for a runner execute on ONE thread at a time, so
+        # the stores' single-writer discipline holds. run() drains and
+        # finishes with a catch-up refresh, so after run() every
+        # maintainer is at the table head.
+        self.maintainers = list(maintain or [])
+        if maintain_every < 1:
+            raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
+        self.maintain_every = maintain_every
+        self.async_maintain = async_maintain
+        self._derived_pool: Any = None
+        self._derived_future: Any = None
+        self._derived_table: CowTable | None = None
+        self._applies_since_maintain = 0
+        self.maintenance_refreshes = 0  # observability: refresh rounds run
         # O7 shard sizing: cap rows per written data file (0 = uncapped)
         self.max_records_per_file = max_records_per_file
         self.registry = SchemaRegistry()
@@ -249,6 +274,7 @@ class CdcRunner:
         if self.pipeline_depth > 1 and self.mode == "mor":
             self._run_pipelined(schema_of, result, max_batches)
             self.drain_maintenance()
+            self.drain_derived()
             if self._lineage_pool is not None:
                 self._lineage_pool.drain()
                 self._lineage_pool = None
@@ -326,7 +352,9 @@ class CdcRunner:
                 result.batches_applied.append(batch_id)
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+                self._maybe_maintain()
         self.drain_maintenance()
+        self.drain_derived()
         if self._lineage_pool is not None:
             self._lineage_pool.drain()
             self._lineage_pool = None
@@ -384,6 +412,7 @@ class CdcRunner:
                 result.batches_applied.append(batch_id)
                 result.rows_upserted += snap["summary"].get("rows_upserted", 0)
                 result.rows_deleted += snap["summary"].get("rows_deleted", 0)
+                self._maybe_maintain()
             self._maybe_compact()
 
         with ThreadPoolExecutor(
@@ -477,6 +506,67 @@ class CdcRunner:
             if self._retry_commit(
                     lambda: self._run_fold(self.table, buckets)) is not None:
                 self.compactions_run += 1
+
+    # --- derived-table maintenance ---------------------------------------
+
+    def _refresh_maintainers(self, table: CowTable) -> None:
+        for m in self.maintainers:
+            fn = m.refresh if hasattr(m, "refresh") else m
+            fn(self.spark, table)
+        self.maintenance_refreshes += 1
+
+    def _maybe_maintain(self) -> None:
+        """Refresh the registered maintainers every ``maintain_every``-th
+        applied batch: inline (blocking the apply loop) by default, or on
+        the derived-maintenance thread when ``async_maintain`` — in which
+        case a still-running refresh is simply allowed to finish (the
+        next applied batch re-checks), so refreshes never queue up behind
+        each other and freshness degrades gracefully under load instead
+        of stalling ingest."""
+        if not self.maintainers:
+            return
+        self._applies_since_maintain += 1
+        if self._applies_since_maintain < self.maintain_every:
+            return
+        if not self.async_maintain:
+            self._refresh_maintainers(self.table)
+            self._applies_since_maintain = 0
+            return
+        if self._derived_future is not None:
+            if not self._derived_future.done():
+                return  # refresh in flight; catch up on a later commit
+            self._derived_future.result()  # surface failures here
+            self._derived_future = None
+        if self._derived_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._derived_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="derived-maintain")
+        self._applies_since_maintain = 0
+        self._derived_future = self._derived_pool.submit(self._maintain_async)
+
+    def _maintain_async(self) -> None:
+        # own handle (CowTable caches are not thread-safe); refreshed so
+        # the maintainers see every commit up to the moment the thread
+        # runs — each store pins its own target snapshot internally
+        if self._derived_table is None:
+            self._derived_table = CowTable(self.table.root)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "maintenance")
+        self._derived_table.refresh()
+        self._refresh_maintainers(self._derived_table)
+
+    def drain_derived(self) -> None:
+        """Block until the in-flight async refresh (if any) lands, then
+        run one catch-up refresh on the caller's thread so every
+        maintainer ends at the table head (a no-op per store whose cursor
+        is already there)."""
+        if self._derived_future is not None:
+            self._derived_future.result()
+            self._derived_future = None
+        if self.maintainers:
+            self._refresh_maintainers(self.table)
+            self._applies_since_maintain = 0
 
     def _buckets_at_threshold(self) -> list[int]:
         """Partial-compaction target set: only buckets whose layer count
