@@ -732,7 +732,10 @@ class CdcRunner:
 
     def summary(self) -> dict[str, Any]:
         snaps = self.table.snapshots()
-        return {
+        out = {
             "snapshots": len(snaps),
             "committed_batches": sorted(self.table.committed_batch_ids()),
         }
+        if self.maintainers:
+            out["maintenance_refreshes"] = self.maintenance_refreshes
+        return out

@@ -64,6 +64,17 @@ def main() -> None:
                         "merged after the apply loop with delete on "
                         "s.op = 'D' when the source has an op column, "
                         "full-row source update, insert-unmatched")
+    p.add_argument("--maintain-index", default=None, metavar="ROOT",
+                   help="keep a TokenIndex at this root fresh as batches "
+                        "commit (CdcRunner(maintain=))")
+    p.add_argument("--maintain-history", default=None, metavar="ROOT",
+                   help="keep a HistoryTable at this root fresh as "
+                        "batches commit")
+    p.add_argument("--maintain-every", type=int, default=1,
+                   help="refresh maintainers every N applied batches")
+    p.add_argument("--async-maintain", action="store_true",
+                   help="run maintainer refreshes on the maintenance "
+                        "thread concurrent with ingest")
     args = p.parse_args()
     if (args.update_where is None) != (args.update_set is None):
         p.error("--update-where and --update-set must be given together")
@@ -74,6 +85,15 @@ def main() -> None:
     from biomedica_etl_spark.cdc.runner import CdcRunner
 
     spark = SparkSession.builder.appName("cdc-apply").getOrCreate()
+    maintain: list = []
+    if args.maintain_index is not None:
+        from biomedica_etl_spark.cdc.index import TokenIndex
+
+        maintain.append(TokenIndex(args.maintain_index))
+    if args.maintain_history is not None:
+        from biomedica_etl_spark.cdc.history import HistoryTable
+
+        maintain.append(HistoryTable(args.maintain_history))
     runner = CdcRunner(
         spark,
         args.log_dir,
@@ -88,6 +108,9 @@ def main() -> None:
         pipeline_depth=args.pipeline_depth,
         shuffle_salts=args.shuffle_salts,
         async_lineage=True,
+        maintain=maintain,
+        maintain_every=args.maintain_every,
+        async_maintain=args.async_maintain,
     )
     result = runner.run(max_batches=args.max_batches)
     dml: dict = {}
