@@ -104,6 +104,25 @@ def test_maintain_survives_source_compaction(spark, log, tmp_path):
     assert _postings(spark, idx) == _scratch_postings(spark, runner.table)
 
 
+def test_async_maintain_plus_async_compact(spark, log, tmp_path):
+    """The full steady-state config: pipelined applies, tiered minor
+    folds on the compaction thread, AND index/history refreshes on the
+    derived thread — three concurrent activities against one table. The
+    maintainers may observe any snapshot (fold commits included); the
+    stores' fold-proof/rebuild contracts must keep everything convergent
+    with zero caller coordination."""
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=8)
+    hist = HistoryTable(str(tmp_path / "hist"), n_shards=8)
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor", compact_every=2, compact_mode="minor",
+                       fold_tier_bytes=-1, async_compact=True,
+                       pipeline_depth=2,
+                       maintain=[idx, hist], async_maintain=True)
+    res = runner.run()
+    assert len(res.batches_applied) == 8
+    _assert_fresh(spark, runner, idx, hist)
+
+
 def test_callable_maintainer_joinview(spark, log, tmp_path):
     """A two-table maintainer registers as a closure over its other side."""
     # side B: a small static annotation table built from the same log
