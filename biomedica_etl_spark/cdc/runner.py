@@ -69,6 +69,56 @@ class _TrackedPool:
         self.futures.clear()
 
 
+class _AsyncSlot:
+    """One lazily-created maintenance thread holding at most one in-flight
+    job — the async-compaction and derived-maintenance discipline shared:
+    a busy slot means the caller skips and catches up on a later commit,
+    so maintenance never queues behind itself. ``reap``/``drain`` clear
+    the slot BEFORE re-raising a job failure, so a failed round surfaces
+    exactly once instead of wedging every subsequent call on the same
+    stale exception, and ``drain`` shuts the pool down so long-lived
+    drivers don't leak one parked thread per runner."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.pool: Any = None
+        self.future: Any = None
+
+    @property
+    def busy(self) -> bool:
+        return self.future is not None
+
+    def reap(self) -> bool:
+        """Consume a FINISHED future (re-raising its failure after
+        clearing the slot); True iff one was consumed. A still-running
+        future is left in place."""
+        if self.future is None or not self.future.done():
+            return False
+        fut, self.future = self.future, None
+        fut.result()
+        return True
+
+    def submit(self, fn: Any, *args: Any) -> None:
+        if self.pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self.pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=self.name)
+        self.future = self.pool.submit(fn, *args)
+
+    def drain(self) -> None:
+        """Block on the in-flight job (slot cleared before any re-raise),
+        then stop the thread; the next submit re-creates it lazily."""
+        try:
+            if self.future is not None:
+                fut, self.future = self.future, None
+                fut.result()
+        finally:
+            if self.pool is not None:
+                self.pool.shutdown(wait=True)
+                self.pool = None
+
+
 def read_batch(
     spark: SparkSession, log_dir: str, batch_id: int, schema_id: int,
     registry: SchemaRegistry,
@@ -209,8 +259,7 @@ class CdcRunner:
         # layer count (large tier included) reaches 3x the fold threshold
         # gets a full fold even when its fresh tier is quiet
         self.fold_tier_collapse_at = 3 * compact_every
-        self._maint_pool: Any = None
-        self._maint_future: Any = None
+        self._maint_slot = _AsyncSlot("maintenance")
         self._maint_table: CowTable | None = None
         self.compactions_run = 0
         # derived-table maintenance riding the ingest loop: each entry is
@@ -230,8 +279,7 @@ class CdcRunner:
             raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
         self.maintain_every = maintain_every
         self.async_maintain = async_maintain
-        self._derived_pool: Any = None
-        self._derived_future: Any = None
+        self._derived_slot = _AsyncSlot("derived-maintain")
         self._derived_table: CowTable | None = None
         self._applies_since_maintain = 0
         self.maintenance_refreshes = 0  # observability: refresh rounds run
@@ -448,10 +496,7 @@ class CdcRunner:
     def _maybe_compact(self) -> None:
         """Fold at-threshold buckets: inline (blocking the apply loop) by
         default, or on the maintenance thread when ``async_compact``."""
-        if self.async_compact and self._maint_future is not None \
-                and self._maint_future.done():
-            self._maint_future.result()  # surface maintenance failures here
-            self._maint_future = None
+        if self.async_compact and self._maint_slot.reap():
             # a fold landed through the maintenance handle: refresh the
             # apply loop's view so threshold checks see the dropped layers
             # (otherwise every subsequent commit re-submits redundant
@@ -467,15 +512,9 @@ class CdcRunner:
                     lambda: self._run_fold(self.table, buckets)) is not None:
                 self.compactions_run += 1
             return
-        if self._maint_future is not None:
+        if self._maint_slot.busy:
             return  # one maintenance job at a time; catch up next commit
-        if self._maint_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._maint_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="maintenance")
-        self._maint_future = self._maint_pool.submit(
-            self._compact_async, buckets)
+        self._maint_slot.submit(self._compact_async, buckets)
 
     def _compact_async(self, buckets: list[int]) -> None:
         # own handle: CowTable caches are not thread-safe, and the apply
@@ -494,10 +533,10 @@ class CdcRunner:
         fold any buckets still at threshold (layers that accrued while the
         last fold was in flight) so the end state honors the bounded-layer
         invariant the threshold promises."""
-        if self._maint_future is None:
+        if not self._maint_slot.busy:
+            self._maint_slot.drain()  # stop the idle thread, if created
             return
-        self._maint_future.result()
-        self._maint_future = None
+        self._maint_slot.drain()
         self.table.refresh()
         buckets = (self._buckets_at_threshold()
                    if self.table.max_delta_layers() >= self.compact_every
@@ -532,18 +571,11 @@ class CdcRunner:
             self._refresh_maintainers(self.table)
             self._applies_since_maintain = 0
             return
-        if self._derived_future is not None:
-            if not self._derived_future.done():
-                return  # refresh in flight; catch up on a later commit
-            self._derived_future.result()  # surface failures here
-            self._derived_future = None
-        if self._derived_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._derived_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="derived-maintain")
+        self._derived_slot.reap()  # surface a failed round exactly once
+        if self._derived_slot.busy:
+            return  # refresh in flight; catch up on a later commit
         self._applies_since_maintain = 0
-        self._derived_future = self._derived_pool.submit(self._maintain_async)
+        self._derived_slot.submit(self._maintain_async)
 
     def _maintain_async(self) -> None:
         # own handle (CowTable caches are not thread-safe); refreshed so
@@ -561,9 +593,7 @@ class CdcRunner:
         run one catch-up refresh on the caller's thread so every
         maintainer ends at the table head (a no-op per store whose cursor
         is already there)."""
-        if self._derived_future is not None:
-            self._derived_future.result()
-            self._derived_future = None
+        self._derived_slot.drain()
         if self.maintainers:
             self._refresh_maintainers(self.table)
             self._applies_since_maintain = 0

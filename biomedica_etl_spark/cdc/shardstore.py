@@ -51,6 +51,18 @@ class ShardedLayerStore:
         must be 'shard')."""
         raise NotImplementedError
 
+    # --- construction -------------------------------------------------------
+
+    def _init_store(self, root: str, n_shards: int, compact_at: int) -> None:
+        self.root = root
+        self.n_shards = n_shards
+        self.compact_at = compact_at
+        os.makedirs(root, exist_ok=True)
+        # attach semantics: read the pointer once so an existing store's
+        # recorded shard count is adopted BEFORE any driver-side shard
+        # computation can use the constructor default
+        self._pointer()
+
     # --- pointer ------------------------------------------------------------
 
     def _pointer_path(self) -> str:
@@ -61,7 +73,17 @@ class ShardedLayerStore:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            ptr = json.load(f)
+        # the on-disk layout is authoritative: layers were hash-routed and
+        # pruning must use the SAME modulus, so a store attached with a
+        # different constructor value silently routing lookups to the
+        # wrong shards is the failure mode this adoption removes (the
+        # constructor arg only sizes a store that does not exist yet;
+        # resharding is a rebuild, not an attach-time choice)
+        stored = ptr.get("n_shards")
+        if stored is not None and int(stored) != self.n_shards:
+            self.n_shards = int(stored)
+        return ptr
 
     def shard_layers(self) -> dict[int, list[Any]]:
         """shard -> ordered layer list; absent shard = empty."""
@@ -79,6 +101,7 @@ class ShardedLayerStore:
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({**payload,
+                       "n_shards": self.n_shards,
                        "shards": {str(k): v for k, v in shards.items()}}, f)
             f.flush()
             os.fsync(f.fileno())

@@ -100,10 +100,7 @@ class JoinView(ShardedLayerStore):
 
     def __init__(self, root: str, n_shards: int = 16,
                  compact_at: int = 8) -> None:
-        self.root = root
-        self.n_shards = n_shards
-        self.compact_at = compact_at
-        os.makedirs(root, exist_ok=True)
+        self._init_store(root, n_shards, compact_at)
 
     # --- manifest (same atomic-pointer discipline as TokenIndex) ---------
 

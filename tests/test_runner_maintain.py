@@ -165,6 +165,27 @@ def test_async_failure_surfaces(spark, log, tmp_path):
         runner.run()  # surfaced at a later commit's check or the drain
 
 
+def test_async_failure_then_recovery(spark, log, tmp_path):
+    """A failed async round surfaces exactly ONCE: the cleared slot lets
+    a retried run() proceed instead of re-raising the stale exception
+    forever (the poisoned-future regression)."""
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=8)
+    calls = {"n": 0}
+
+    def flaky(s, t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _Boom("transient maintainer failure")
+        idx.refresh(s, t)
+
+    runner = CdcRunner(spark, log, str(tmp_path / "t"), n_buckets=8,
+                       mode="mor", maintain=[flaky], async_maintain=True)
+    with pytest.raises(_Boom):
+        runner.run()
+    runner.run()  # must NOT re-raise the old failure
+    assert idx.cursor() == runner.table.current_snapshot()["snapshot_id"]
+
+
 def test_maintain_every_validates(spark, log, tmp_path):
     with pytest.raises(ValueError, match="maintain_every"):
         CdcRunner(spark, log, str(tmp_path / "t"), maintain_every=0)
