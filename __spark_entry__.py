@@ -422,6 +422,33 @@ ORDER BY token, conv_id, turn_idx
 """
 
 
+def _cdc_maintained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-pipeline surface as a query: the ingest loop itself
+    keeps the inverted index fresh (``CdcRunner(maintain=)``, async
+    refreshes on the maintenance thread, every 2nd applied batch) — no
+    caller-orchestrated refresh anywhere. After the apply loop, a
+    predicate delete commits and a drain pass brings the index to head
+    (the run() postcondition). Result: the full postings table, same
+    oracle as ``cdc_token_index`` — a from-scratch tokenize+count over
+    the replayed live state minus the delete's matches — proving the
+    in-loop maintenance path converges to the identical index the
+    explicitly-refreshed path builds."""
+    from biomedica_etl_spark.cdc.index import TokenIndex
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-maint-")
+    idx = TokenIndex(os.path.join(work, "idx"), n_shards=16)
+    runner = CdcRunner(spark, log, os.path.join(work, "table"), n_buckets=8,
+                       mode="mor", maintain=[idx], maintain_every=2,
+                       async_maintain=True)
+    runner.run()
+    runner.delete_where(_DELETE_PRED_SPARK)
+    runner.run()  # nothing pending; the drain's catch-up refresh hits head
+    assert idx.cursor() == runner.table.current_snapshot()["snapshot_id"]
+    return idx.read(spark).orderBy("token", "conv_id", "turn_idx")
+
+
 def _cdc_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once downstream replication through the image-feed cursor:
     a replica table starts empty at the source's creation snapshot and is
@@ -921,6 +948,7 @@ _PRIORITY_ORDER = (
     "cdc_change_images",
     "cdc_rollup_counts",
     "cdc_token_index",
+    "cdc_maintained_ingest",
     "cdc_feed_replica",
     "cdc_join_view",
     "cdc_time_travel",
@@ -990,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_change_images"] = _cdc_change_images
     out["cdc_rollup_counts"] = _cdc_rollup_counts
     out["cdc_token_index"] = _cdc_token_index
+    out["cdc_maintained_ingest"] = _cdc_maintained_ingest
     out["cdc_feed_replica"] = _cdc_feed_replica
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_time_travel"] = _cdc_time_travel
@@ -1014,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_change_images"] = _cdc_change_images_oracle_sql()
     out["cdc_rollup_counts"] = _cdc_rollup_oracle_sql()
     out["cdc_token_index"] = _cdc_token_index_oracle_sql()
+    out["cdc_maintained_ingest"] = _cdc_token_index_oracle_sql()
     out["cdc_feed_replica"] = _cdc_delete_where_oracle_sql()
     out["cdc_join_view"] = _cdc_join_view_oracle_sql()
     out["cdc_time_travel"] = _cdc_time_travel_oracle_sql()
