@@ -60,12 +60,23 @@ def stream_apply(
     compact_every: int = 8,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    maintain: list | None = None,
+    maintain_every: int = 1,
 ):
     """Tail the log as a stream and apply micro-batches to the table.
 
     With ``available_now=True`` (default) processes everything currently in
     the log and stops — deterministic and testable; with False it runs
     until ``query.stop()``. Returns the streaming query handle.
+
+    ``maintain``: derived-table maintainers (objects with
+    ``refresh(spark, table)`` or bare callables — the CdcRunner contract)
+    refreshed inline every ``maintain_every``-th epoch inside
+    ``foreachBatch`` (epochs serialize, so the stores' single-writer
+    discipline holds). A cadence > 1 can leave the stores short of head
+    when the stream drains mid-cycle; run one explicit refresh after
+    ``awaitTermination`` when head-at-drain matters (refreshes are
+    cursor-fenced no-ops when already there).
     """
     registry = SchemaRegistry()
     table = CowTable(table_root, n_buckets=n_buckets)
@@ -76,6 +87,8 @@ def stream_apply(
     unioned = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), streams)
 
     apply_fn = merge_batch if mode == "cow" else mor_apply_batch
+
+    epochs_seen = {"n": 0}
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         apply_fn(
@@ -88,6 +101,12 @@ def stream_apply(
         )
         if mode == "mor" and table.max_delta_layers() >= compact_every:
             compact(spark, table)
+        if maintain:
+            epochs_seen["n"] += 1
+            if epochs_seen["n"] % max(maintain_every, 1) == 0:
+                for m in maintain:
+                    fn = m.refresh if hasattr(m, "refresh") else m
+                    fn(spark, table)
 
     writer = (
         unioned.writeStream.foreachBatch(_apply)

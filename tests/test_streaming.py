@@ -295,3 +295,38 @@ def test_stream_merge_matches_oracle_and_replayed_epochs_fence(spark, tmp_path):
     assert len(table.snapshots()) == n_snaps
     assert [r.asDict() for r in
             table.read(spark).orderBy("conv_id", "turn_idx").collect()] == actual
+
+
+def test_stream_apply_with_maintained_index(spark, tmp_path):
+    """The streaming half of CdcRunner(maintain=): derived maintainers
+    refresh inside foreachBatch as epochs commit (epochs serialize, so
+    single-writer holds), and a drain-time refresh is a cursor-fenced
+    no-op when the cadence already reached head."""
+    from pyspark.sql import functions as F
+
+    from biomedica_etl_spark.cdc.index import TokenIndex
+
+    log = str(tmp_path / "log")
+    generate_change_log(log, CFG)
+    table_root = str(tmp_path / "t")
+    idx = TokenIndex(str(tmp_path / "idx"), n_shards=8)
+
+    q = stream_apply(spark, log, table_root, str(tmp_path / "ckpt"),
+                     n_buckets=8, mode="mor", compact_every=1000,
+                     max_files_per_trigger=4, maintain=[idx])
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    table = CowTable(table_root)
+    idx.refresh(spark, table)  # drain-time catch-up (no-op at head)
+    assert idx.cursor() == table.current_snapshot()["snapshot_id"]
+    scratch = sorted(
+        (r["token"], r["conv_id"], r["turn_idx"], r["count"])
+        for r in table.read(spark, columns=["text"])
+        .select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "conv_id", "turn_idx").count().collect())
+    got = sorted(
+        (r["token"], r["conv_id"], r["turn_idx"], r["tf"])
+        for r in idx.read(spark).collect())
+    assert got == scratch
