@@ -932,6 +932,116 @@ ORDER BY conv_id, turn_idx
 """
 
 
+_ENTRY_DBZ_LOG = _ENTRY_CDC_LOG + "-dbz"
+
+
+def _ensure_dbz_log() -> str:
+    """Deterministic Debezium-envelope NDJSON twin of the entry log, at a
+    fixed path with the same atomic-rename race discipline as the parquet
+    log (the converter is pure pyarrow + json.dumps — byte-identical
+    regardless of which process materializes first)."""
+    import shutil
+    import uuid
+
+    from biomedica_etl_spark.cdc.envelope import write_debezium_log
+
+    path = _ENTRY_DBZ_LOG
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        log = _ensure_entry_log()
+        stage = path + f".stage-{uuid.uuid4().hex}"
+        write_debezium_log(log, stage)
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write("ok")
+        if os.path.isdir(path) and not os.path.exists(marker):
+            try:
+                os.rename(path, path + f".dead-{uuid.uuid4().hex}")
+            except OSError:
+                pass
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def _cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-transport ingest: the entry change log rendered as Debezium
+    NDJSON (op c|u|d, before/after images, source.lsn), parsed back to
+    change events with one JVM-side ``from_json`` and applied through the
+    ordinary MOR merge with per-file fenced batch ids. Oracle: DuckDB
+    parses the SAME NDJSON bytes and replays LWW."""
+    from biomedica_etl_spark.cdc.envelope import ingest_debezium
+
+    ndj = _ensure_dbz_log()
+    work = tempfile.mkdtemp(prefix="cdc-dbz-")
+    table = ingest_debezium(spark, ndj, os.path.join(work, "table"),
+                            n_buckets=8)
+    return table.read(spark).orderBy("conv_id", "turn_idx")
+
+
+def _cdc_debezium_ingest_oracle_sql() -> str:
+    ndj = _ensure_dbz_log()
+    glob_path = os.path.join(ndj, "*.ndjson")
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_json('{glob_path}', format = 'newline_delimited',
+    columns = {{'op': 'VARCHAR', 'before': 'JSON', 'after': 'JSON',
+               'source': 'JSON'}})
+),
+ev AS (
+  SELECT CASE op WHEN 'c' THEN 'I' WHEN 'r' THEN 'I'
+                 WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' END AS eng_op,
+         json_extract_string(img, '$.conv_id') AS conv_id,
+         CAST(json_extract(img, '$.turn_idx') AS BIGINT) AS turn_idx,
+         json_extract_string(img, '$.role') AS role,
+         json_extract_string(img, '$.text') AS text,
+         json_extract_string(img, '$.tool') AS tool,
+         make_timestamp(CAST(json_extract(img, '$.ts_us') AS BIGINT)) AS ts,
+         CAST(json_extract(source, '$.lsn') AS BIGINT) AS lsn
+  FROM (SELECT *, CASE WHEN op = 'd' THEN before ELSE after END AS img
+        FROM raw)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM ev
+  WHERE eng_op IN ('I', 'U', 'D') AND turn_idx >= 0
+    AND conv_id IS NOT NULL AND lsn IS NOT NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND eng_op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-then-ingest loop: build the source table from the entry log,
+    render its full-history CDF image feed as Debezium envelopes
+    (updates carry before+after — REPLICA IDENTITY FULL), parse them back
+    and apply to an empty replica in one fenced batch. The replica's live
+    state must equal the source's — i.e. the LWW replay oracle. A byte
+    lost, an image mis-paired, or a delete dropped anywhere in the
+    JSON round-trip fails the row."""
+    from biomedica_etl_spark.cdc.envelope import parse_debezium, to_debezium
+    from biomedica_etl_spark.cdc.merge import mor_apply_batch
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+    from biomedica_etl_spark.cdc.table import CowTable
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-dbz-rt-")
+    runner = CdcRunner(spark, log, os.path.join(work, "src"), n_buckets=8,
+                       mode="mor", compact_every=1000)
+    runner.run()
+    envelopes = to_debezium(spark, runner.table, 0)
+    events = parse_debezium(envelopes, value_col="value")
+    replica = CowTable(os.path.join(work, "replica"), n_buckets=8)
+    replica.create()
+    mor_apply_batch(spark, replica, events, 0)
+    replica.refresh()
+    return replica.read(spark).orderBy("conv_id", "turn_idx")
+
+
 # The correctness driver samples the FIRST 50 entries of queries() in
 # iteration order.  Names are FROZEN (never renamed); only the ORDER is
 # managed here so every query gets a driver row across rounds: entries that
@@ -957,6 +1067,8 @@ _PRIORITY_ORDER = (
     "cdc_txn_commit",
     "cdc_key_history",
     "cdc_as_of_lsn",
+    "cdc_debezium_ingest",
+    "cdc_debezium_roundtrip",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -973,8 +1085,6 @@ _PRIORITY_ORDER = (
     "ann_ivf_nprobe2",
     "ann_recall_report",
     "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
     "multimodal_embed",
     "multimodal_embed_ann",
     "nested_assemble",
@@ -991,9 +1101,14 @@ _PRIORITY_ORDER = (
     "contamination_report",
     "kmeans_assign",
     "dbscan_labels",
-    "dbscan_labels_bucketed",
     "ann_ivf_trained",
     "pca_project",
+    # 51+: variants of in-window siblings (decode/frame/resize share the
+    # multimodal plumbing; the bucketed DBSCAN twin shares dbscan_labels'
+    # oracle) — the only entries the 50-row window cannot fit this round
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "dbscan_labels_bucketed",
 )
 
 
@@ -1027,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_txn_commit"] = _cdc_txn_commit
     out["cdc_key_history"] = _cdc_key_history
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn
+    out["cdc_debezium_ingest"] = _cdc_debezium_ingest
+    out["cdc_debezium_roundtrip"] = _cdc_debezium_roundtrip
     return _reorder(out)
 
 
@@ -1052,4 +1169,8 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_txn_commit"] = _cdc_txn_commit_oracle_sql()
     out["cdc_key_history"] = _cdc_key_history_oracle_sql()
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn_oracle_sql()
+    out["cdc_debezium_ingest"] = _cdc_debezium_ingest_oracle_sql()
+    # the round-trip restores the source's live state, so the plain LWW
+    # replay oracle is its ground truth too
+    out["cdc_debezium_roundtrip"] = _cdc_oracle_sql()
     return _reorder(out)

@@ -1,0 +1,182 @@
+"""Debezium envelope interop: parse / emit / ingest / DLQ / quarantine.
+
+The wire-format leg of the CDC story: the engine must ingest the industry
+envelope shape (Debezium ``{before, after, source.lsn, op}`` NDJSON) with
+the same exactly-once / LWW / quarantine contracts as the parquet tail,
+and emit its own change feed in that shape losslessly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from biomedica_etl_spark.cdc import envelope as E
+from biomedica_etl_spark.cdc.generator import GeneratorConfig, generate_change_log
+from biomedica_etl_spark.cdc.merge import mor_apply_batch
+from biomedica_etl_spark.cdc.oracle import replay
+from biomedica_etl_spark.cdc.runner import CdcRunner
+from biomedica_etl_spark.cdc.table import CowTable
+
+
+@pytest.fixture(scope="module")
+def dbz_env(spark, tmp_path_factory):
+    """One generated log + its envelope NDJSON twin, shared by the tests."""
+    work = tmp_path_factory.mktemp("dbz")
+    log = str(work / "log")
+    generate_change_log(log, GeneratorConfig(
+        n_events=3_000, batch_size=600, n_convs=40, zipf_a=1.0,
+        duplicate_frac=0.02, out_of_order=True))
+    ndj = str(work / "ndjson")
+    n_lines = E.write_debezium_log(log, ndj)
+    return {"work": str(work), "log": log, "ndjson": ndj, "n_lines": n_lines}
+
+
+def _live_rows(spark, table):
+    return [r.asDict() for r in
+            table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+
+
+def test_ingest_matches_replay_oracle(spark, dbz_env):
+    """Envelope-transport ingest ends at the same state as the parquet
+    tail: the JSON leg (write -> from_json parse -> merge) loses nothing,
+    including the schema-evolution epochs (epoch-0 lines lack the 'tool'
+    key entirely; the widened turn_idx arrives as a JSON number)."""
+    table = E.ingest_debezium(spark, dbz_env["ndjson"],
+                              os.path.join(dbz_env["work"], "t1"),
+                              n_buckets=4)
+    actual = _live_rows(spark, table)
+    expected = replay(dbz_env["log"])
+    assert len(actual) == len(expected)
+    for a, e in zip(actual, expected):
+        assert a == e
+    # the epochs really were exercised: some winners predate 'tool'
+    assert any(r["tool"] is None for r in actual)
+    assert any(r["tool"] is not None for r in actual)
+
+
+def test_ingest_is_exactly_once(spark, dbz_env):
+    """Re-running over the same NDJSON directory commits nothing: each
+    file's batch_id is fenced, so resume-after-crash or a double invoke
+    re-applies zero batches (same contract as the parquet runner)."""
+    path = os.path.join(dbz_env["work"], "t2")
+    table = E.ingest_debezium(spark, dbz_env["ndjson"], path, n_buckets=4)
+    snaps_before = [s["snapshot_id"] for s in table.snapshots()]
+    table2 = E.ingest_debezium(spark, dbz_env["ndjson"], path, n_buckets=4)
+    snaps_after = [s["snapshot_id"] for s in table2.snapshots()]
+    assert snaps_after == snaps_before
+
+
+def test_roundtrip_emit_parse_apply(spark, dbz_env):
+    """to_debezium(full history) -> parse -> apply to an empty replica
+    reproduces the source's live state; update envelopes carry BOTH
+    images (REPLICA IDENTITY FULL), inserts omit before, deletes omit
+    after."""
+    runner = CdcRunner(spark, dbz_env["log"],
+                       os.path.join(dbz_env["work"], "src"),
+                       n_buckets=4, mode="mor", compact_every=1000)
+    runner.run()
+    env_df = E.to_debezium(spark, runner.table, 0)
+    lines = [r.value for r in env_df.collect()]
+    ops = {"c": 0, "u": 0, "d": 0}
+    for ln in lines:
+        rec = json.loads(ln)
+        ops[rec["op"]] += 1
+        if rec["op"] == "c":
+            assert "before" not in rec or rec["before"] is None
+            assert rec["after"]["conv_id"] is not None
+        elif rec["op"] == "d":
+            assert "after" not in rec or rec["after"] is None
+            assert rec["before"]["conv_id"] is not None
+        else:
+            assert rec["before"] is not None and rec["after"] is not None
+        assert rec["source"]["lsn"] is not None
+    # a full-history feed over a fresh table is all inserts and deletes
+    # (per-key NET semantics); updates appear over sub-windows instead
+    assert ops["c"] > 0
+
+    replica = CowTable(os.path.join(dbz_env["work"], "replica"), n_buckets=4)
+    replica.create()
+    mor_apply_batch(spark, replica,
+                    E.parse_debezium(env_df, value_col="value"), 0)
+    replica.refresh()
+    assert _live_rows(spark, replica) == _live_rows(spark, runner.table)
+
+
+def test_subwindow_updates_carry_both_images(spark, dbz_env):
+    """Over a window whose keys already existed, updates emit the paired
+    before+after envelope — and replaying JUST that window's envelopes on
+    a replica of the window start reproduces the window end."""
+    runner = CdcRunner(spark, dbz_env["log"],
+                       os.path.join(dbz_env["work"], "src2"),
+                       n_buckets=4, mode="mor", compact_every=1000)
+    runner.run()
+    snaps = [s["snapshot_id"] for s in runner.table.snapshots()]
+    mid = snaps[len(snaps) // 2]
+    env_df = E.to_debezium(spark, runner.table, mid)
+    recs = [json.loads(r.value) for r in env_df.collect()]
+    ups = [r for r in recs if r["op"] == "u"]
+    assert ups, "window with overlapping keys must contain updates"
+    for r in ups:
+        assert r["before"]["conv_id"] == r["after"]["conv_id"]
+        assert r["before"]["turn_idx"] == r["after"]["turn_idx"]
+
+    # bootstrap replica at the window start from the source's pinned read
+    replica = CowTable(os.path.join(dbz_env["work"], "replica2"), n_buckets=4)
+    replica.create()
+    base = runner.table.read(spark, snapshot_id=mid)
+    from pyspark.sql import functions as F
+    seed = base.select(
+        F.lit(0).cast("long").alias("lsn"), F.lit("I").alias("op"),
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    mor_apply_batch(spark, replica, seed, 0)
+    replica.refresh()
+    mor_apply_batch(spark, replica,
+                    E.parse_debezium(env_df, value_col="value"), 1)
+    replica.refresh()
+    assert _live_rows(spark, replica) == _live_rows(spark, runner.table)
+
+
+def test_dlq_split_reasons(spark):
+    lines = [
+        '{"op":"c","after":{"conv_id":"c1","turn_idx":1,"role":"user",'
+        '"text":"t","ts_us":5},"source":{"lsn":9}}',
+        "not json at all",
+        '{"op":"z","after":{"conv_id":"c1","turn_idx":1},"source":{"lsn":2}}',
+        '{"op":"c","after":{"conv_id":null,"turn_idx":1},"source":{"lsn":3}}',
+        '{"op":"c","after":{"conv_id":"c2","turn_idx":1},"source":{}}',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    good, rej = E.parse_debezium_with_rejects(df)
+    good_rows = good.collect()
+    assert len(good_rows) == 1 and good_rows[0].lsn == 9
+    rejects = {r.raw: r.reject_reason for r in rej.collect()}
+    assert rejects["not json at all"] == "corrupt_json"
+    assert [v for k, v in rejects.items() if '"op":"z"' in k] == ["unknown_op"]
+    assert [v for k, v in rejects.items() if "null" in k] == ["missing_key"]
+    assert [v for k, v in rejects.items() if '"source":{}' in k] == ["missing_lsn"]
+
+
+def test_poisoned_lines_quarantine_not_crash(spark, tmp_path):
+    """Without the DLQ split, poisoned envelope lines flow into the merge
+    gate's quarantine — never applied, never fatal, clean rows land."""
+    lines = [
+        '{"op":"c","after":{"conv_id":"c1","turn_idx":1,"role":"user",'
+        '"text":"ok","ts_us":5},"source":{"lsn":9}}',
+        "garbage {{{",
+        '{"op":"w","after":{"conv_id":"c9","turn_idx":2},"source":{"lsn":1}}',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    table = CowTable(str(tmp_path / "t"), n_buckets=2)
+    table.create()
+    qdir = str(tmp_path / "quarantine")
+    res = mor_apply_batch(spark, table, E.parse_debezium(df), 0,
+                          quarantine_dir=qdir)
+    table.refresh()
+    assert res["summary"]["rows_quarantined"] == 2
+    live = _live_rows(spark, table)
+    assert len(live) == 1 and live[0]["text"] == "ok"
+    q = spark.read.parquet(os.path.join(qdir, "batch_id=0"))
+    assert q.count() == 2
