@@ -85,7 +85,20 @@ def stream_apply(
     if not streams:
         raise ValueError(f"no schema_id=* dirs under {log_dir}")
     unioned = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), streams)
+    return _start_apply_stream(spark, unioned, table, table_root, mode,
+                               compact_every, maintain, maintain_every,
+                               checkpoint_dir, available_now)
 
+
+def _start_apply_stream(
+    spark: SparkSession, events: DataFrame, table: CowTable,
+    table_root: str, mode: str, compact_every: int,
+    maintain: list | None, maintain_every: int,
+    checkpoint_dir: str, available_now: bool,
+):
+    """Shared tail of every apply-shaped stream: foreachBatch funnels each
+    epoch through the batch merge with a fenced id, inline compaction at
+    the layer threshold, and optional in-loop derived maintenance."""
     apply_fn = merge_batch if mode == "cow" else mor_apply_batch
 
     epochs_seen = {"n": 0}
@@ -109,13 +122,54 @@ def stream_apply(
                     fn(spark, table)
 
     writer = (
-        unioned.writeStream.foreachBatch(_apply)
+        events.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_debezium(
+    spark: SparkSession,
+    ndjson_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    mode: str = "mor",
+    compact_every: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    maintain: list | None = None,
+    maintain_every: int = 1,
+):
+    """Tail a directory of Debezium-envelope NDJSON files as a stream and
+    apply micro-batches through the same merge machinery as
+    ``stream_apply`` — the topology a Kafka+Debezium deployment runs,
+    with the file source standing in for the Kafka reader (swap in
+    ``format("kafka")`` and ``col("value").cast("string")``; the parse
+    and the foreachBatch body are unchanged).
+
+    Parsing is ``cdc/envelope.parse_debezium`` — one JVM-side
+    ``from_json`` per line inside the stream's own plan, so poisoned
+    envelopes degrade to the merge gate's quarantine exactly as in
+    batch. Exactly-once: file-source checkpointing + the engine's fenced
+    ``STREAM_BATCH_BASE + epoch_id`` commit ids, so a crash between sink
+    commit and stream checkpoint replays an epoch into a structural
+    no-op."""
+    from ..cdc.envelope import parse_debezium
+
+    table = CowTable(table_root, n_buckets=n_buckets)
+    table.create()
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(os.path.join(ndjson_dir, "*.ndjson"))
+    events = parse_debezium(lines, value_col="value")
+    return _start_apply_stream(spark, events, table, table_root, mode,
+                               compact_every, maintain, maintain_every,
+                               checkpoint_dir, available_now)
 
 
 def stream_merge(

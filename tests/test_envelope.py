@@ -180,3 +180,30 @@ def test_poisoned_lines_quarantine_not_crash(spark, tmp_path):
     assert len(live) == 1 and live[0]["text"] == "ok"
     q = spark.read.parquet(os.path.join(qdir, "batch_id=0"))
     assert q.count() == 2
+
+
+def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
+        spark, dbz_env, tmp_path):
+    """The Kafka-topology leg: envelope NDJSON tailed as a file stream,
+    parsed in-plan, applied through the shared foreachBatch body.
+    Drains to the replay oracle; a restart on the same checkpoint with
+    no new input commits nothing (exactly-once across the stream
+    checkpoint + snapshot fencing)."""
+    from biomedica_etl_spark.streaming import stream_apply_debezium
+
+    table_root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_apply_debezium(spark, dbz_env["ndjson"], table_root, ckpt,
+                              n_buckets=4, mode="mor", compact_every=3,
+                              max_files_per_trigger=2)
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    table = CowTable(table_root)
+    assert _live_rows(spark, table) == replay(dbz_env["log"])
+    n_snaps = len(table.snapshots())
+
+    q2 = stream_apply_debezium(spark, dbz_env["ndjson"], table_root, ckpt,
+                               n_buckets=4, mode="mor")
+    assert q2.awaitTermination(120)
+    table.refresh()
+    assert len(table.snapshots()) == n_snaps
