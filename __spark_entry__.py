@@ -1015,6 +1015,29 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch workflow end-to-end: apply the first 3 batches on main,
+    fork a zero-copy branch (absolute-path shallow clone + fork tag),
+    let a resumed runner apply the REMAINING batches on the branch
+    (fencing rides the fork's committed_ancestors), then merge the
+    branch's net changes back into main through the ordinary LWW merge.
+    Main's final state must equal the full-log replay — i.e. the branch
+    detour is semantically invisible. Oracle: the plain LWW replay."""
+    from biomedica_etl_spark.cdc.branch import fork_table, merge_branch
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-branch-")
+    main = CdcRunner(spark, log, os.path.join(work, "main"), n_buckets=8,
+                     mode="mor", compact_every=1000)
+    main.run(max_batches=3)
+    branch = fork_table(main.table, os.path.join(work, "br"))
+    CdcRunner(spark, log, branch.root, n_buckets=8, mode="mor",
+              compact_every=1000).run()
+    merge_branch(spark, branch, main.table, batch_id=900_001)
+    return main.table.read(spark).orderBy("conv_id", "turn_idx")
+
+
 def _cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emit-then-ingest loop: build the source table from the entry log,
     render its full-history CDF image feed as Debezium envelopes
@@ -1069,6 +1092,7 @@ _PRIORITY_ORDER = (
     "cdc_as_of_lsn",
     "cdc_debezium_ingest",
     "cdc_debezium_roundtrip",
+    "cdc_branch_merge",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
     "embedding_near_dup_bucketed",
@@ -1080,7 +1104,6 @@ _PRIORITY_ORDER = (
     "cosine_topk",
     "embedding_near_dup",
     "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
     "ann_ivf_coarse",
     "ann_ivf_nprobe2",
     "ann_recall_report",
@@ -1109,6 +1132,7 @@ _PRIORITY_ORDER = (
     "multimodal_frame_sample",
     "multimodal_resize",
     "dbscan_labels_bucketed",
+    "ann_lsh_multiprobe",
 )
 
 
@@ -1144,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn
     out["cdc_debezium_ingest"] = _cdc_debezium_ingest
     out["cdc_debezium_roundtrip"] = _cdc_debezium_roundtrip
+    out["cdc_branch_merge"] = _cdc_branch_merge
     return _reorder(out)
 
 
@@ -1173,4 +1198,6 @@ def oracle_sql() -> dict[str, str]:
     # the round-trip restores the source's live state, so the plain LWW
     # replay oracle is its ground truth too
     out["cdc_debezium_roundtrip"] = _cdc_oracle_sql()
+    # the branch detour must be semantically invisible: same replay oracle
+    out["cdc_branch_merge"] = _cdc_oracle_sql()
     return _reorder(out)
