@@ -275,6 +275,43 @@ def run_cdc_section(spark, workdir: str) -> dict:
             hres = hist.refresh(spark, runner.table)
             history_refresh_sec = time.time() - t9
             assert hres["source"] == "feed", hres
+            # envelope transport leg (the Kafka/Debezium wire format):
+            # emit the table's live state as initial-snapshot (op='r')
+            # envelope NDJSON (untimed fixture — Debezium's bootstrap
+            # stream), then time parse (one JVM-side from_json) + apply
+            # to a fresh table — the JSON-leg cost vs the parquet apply
+            # above, at the same key universe
+            from biomedica_etl_spark.cdc.envelope import (
+                ingest_debezium, to_debezium_snapshot)
+
+            ndj = os.path.join(workdir, "dbz-ndjson")
+            (to_debezium_snapshot(spark, runner.table)
+             .repartition(4).write.mode("overwrite").text(ndj))
+            dbz_lines = spark.read.text(ndj).count()
+            t10 = time.time()
+            dbz_table = ingest_debezium(
+                spark, ndj, os.path.join(workdir, "dbz-table"),
+                n_buckets=runner.table.n_buckets)
+            dbz_ingest_sec = time.time() - t10
+            assert dbz_table.read(spark).count() == \
+                runner.table.read(spark).count()
+            # branch leg: zero-copy fork (metadata-only — must stay
+            # O(ms) regardless of table size), a branch-side DML, and
+            # the LWW merge-back (O(branch changes) feed + apply)
+            from biomedica_etl_spark.cdc.branch import (
+                drop_branch, fork_table, merge_branch)
+            from biomedica_etl_spark.cdc.merge import (
+                delete_where as _br_delete)
+
+            t11 = time.time()
+            br = fork_table(runner.table, os.path.join(workdir, "bench-br"))
+            fork_sec = time.time() - t11
+            _br_delete(spark, br, "turn_idx % 17 = 3", mode="mor")
+            br.refresh()
+            t12 = time.time()
+            merge_branch(spark, br, runner.table, batch_id=9_900_001)
+            branch_merge_sec = time.time() - t12
+            drop_branch(br, runner.table)
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
                   f"merge={dml_merge_sec:.1f}s "
@@ -287,7 +324,10 @@ def run_cdc_section(spark, workdir: str) -> dict:
                   f"view_boot={view_bootstrap_sec:.1f}s "
                   f"view_refresh={view_refresh_sec:.1f}s "
                   f"hist_boot={history_bootstrap_sec:.1f}s "
-                  f"hist_refresh={history_refresh_sec:.1f}s",
+                  f"hist_refresh={history_refresh_sec:.1f}s "
+                  f"dbz_ingest={dbz_ingest_sec:.1f}s ({dbz_lines} lines) "
+                  f"fork={fork_sec*1000:.0f}ms "
+                  f"branch_merge={branch_merge_sec:.1f}s",
                   file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
@@ -371,6 +411,11 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "view_refresh_sec": round(view_refresh_sec, 3),
         "history_bootstrap_sec": round(history_bootstrap_sec, 3),
         "history_refresh_sec": round(history_refresh_sec, 3),
+        "dbz_lines": dbz_lines,
+        "dbz_ingest_sec": round(dbz_ingest_sec, 3),
+        "dbz_lines_per_sec": round(dbz_lines / dbz_ingest_sec, 1),
+        "fork_sec": round(fork_sec, 4),
+        "branch_merge_sec": round(branch_merge_sec, 3),
     }
 
 

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schema import PAYLOAD_FIELDS, align_to_target
+from .schema import PAYLOAD_FIELDS, SYS_DELETED, SYS_LSN, align_to_target
 from .table import CowTable
 
 # Row-image fields as they appear inside the envelope JSON. Timestamps
@@ -218,6 +218,116 @@ def to_debezium(
                          F.col("_lsn").alias("lsn"))
 
 
+def maxwell_value_schema() -> T.StructType:
+    """Maxwell's envelope: flat ``data``/``old`` maps, string op names,
+    and the position carried as ``position`` ("file:offset") or ``xoffset``
+    — we read the numeric tail of ``position`` as the LSN."""
+    return T.StructType([
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("ts", T.LongType(), True),          # epoch seconds
+        T.StructField("position", T.StringType(), True),  # "binlog.0001:4321"
+        T.StructField("data", _image_struct(), True),
+        T.StructField("old", _image_struct(), True),
+    ])
+
+
+def parse_maxwell(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Maxwell-format envelope lines -> engine change events.
+
+    Maxwell (Zendesk's binlog tail) differs from Debezium in shape only:
+    ``type`` is a word (insert/update/delete/bootstrap-insert), the row
+    image is the flat ``data`` map (``old`` holds only the changed
+    columns' previous values — deletes carry the full image in ``data``),
+    and the binlog position rides as ``"file:offset"``. Same guarantees
+    as :func:`parse_debezium`: one JVM-side ``from_json``, poisoned lines
+    degrade to quarantineable events.
+    """
+    val = F.from_json(F.col(value_col), maxwell_value_schema())
+    img = val["data"]  # Maxwell: data IS the image for every op, deletes too
+    op = (
+        F.when(val["type"].isin("insert", "bootstrap-insert"), F.lit("I"))
+        .when(val["type"] == "update", F.lit("U"))
+        .when(val["type"] == "delete", F.lit("D"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lsn = F.split(val["position"], ":").getItem(1).cast("long")
+    return align_to_target(df.select(
+        lsn.alias("lsn"),
+        op.alias("op"),
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        img["role"].alias("role"),
+        img["text"].alias("text"),
+        img["tool"].alias("tool"),
+        F.timestamp_micros(img["ts_us"]).alias("ts"),
+    ))
+
+
+REJECT_TABLE = "_unrouted"
+
+
+def route_debezium(
+    df: DataFrame, tables: list[str], value_col: str = "value",
+    table_field: str = "source.table",
+) -> dict[str, DataFrame]:
+    """Demultiplex a single envelope stream carrying several tables'
+    changes (the one-topic-many-tables Kafka layout) into per-table
+    change-event frames keyed by ``source.table``.
+
+    Returns ``{table_name: events_df, REJECT_TABLE: unrouted}`` — every
+    returned frame is a FILTER over one shared parse, so Catalyst
+    collapses the ``from_json`` into each consumer's scan; no shuffle,
+    no materialization here. Events naming none of ``tables`` (or
+    unparseable lines) land under :data:`REJECT_TABLE` so a topo change
+    upstream (a new table added to the topic) surfaces as routable data,
+    never a silent drop.
+    """
+    val, img, op = _parsed(df, value_col)
+    tbl = val
+    for part in table_field.split("."):
+        tbl = tbl[part]
+    base = df.select(tbl.alias("_route"), F.col(value_col).alias("raw"),
+                     *_events_select(val, img, op))
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        out[name] = align_to_target(
+            base.filter(F.col("_route") == name).drop("_route", "raw"))
+    # unrouted keeps the RAW line (DLQ shape) alongside the route value
+    out[REJECT_TABLE] = base.filter(
+        F.col("_route").isNull() | ~F.col("_route").isin(list(tables))
+    ).select("_route", "raw")
+    return out
+
+
+def to_debezium_snapshot(
+    spark: SparkSession, table: CowTable, snapshot_id: int | None = None,
+) -> DataFrame:
+    """Debezium's INITIAL-SNAPSHOT stream: every live row as an ``op='r'``
+    read envelope at its winning LSN — what a connector emits before
+    switching to the tail, and what bootstraps a downstream replica
+    through the wire format. Parsing these and applying yields exactly
+    the source's live state (reads map to inserts; LSNs are faithful, so
+    tailing the same source later resolves correctly by LWW)."""
+    payload = [c for c, _ in PAYLOAD_FIELDS if c not in ("conv_id", "turn_idx")]
+    raw = table.read_raw(spark, snapshot_id=snapshot_id).filter(
+        ~F.col(SYS_DELETED))
+    img_cols = [F.col("conv_id"), F.col("turn_idx")]
+    for c in payload:
+        img_cols.append(F.unix_micros(F.col("ts")).alias("ts_us")
+                        if c == "ts" else F.col(c))
+    ts_ms = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+    envelope = F.struct(
+        F.struct(*img_cols).alias("after"),
+        F.struct(F.col(SYS_LSN).alias("lsn"), ts_ms.alias("ts_ms"),
+                 F.lit(SOURCE_NAME).alias("db"),
+                 F.lit("transcripts").alias("table")).alias("source"),
+        F.lit("r").alias("op"), ts_ms.alias("ts_ms"),
+    )
+    return raw.select(F.to_json(envelope).alias("value"))
+
+
 def write_debezium_log(log_dir: str, out_dir: str) -> int:
     """Deterministically materialize a generated change log as NDJSON
     envelope files, one ``batch-%05d.ndjson`` per source batch dir.
@@ -307,9 +417,15 @@ def ingest_debezium(
     table = CowTable(table_path, n_buckets=n_buckets)
     table.create()
     files = sorted(f for f in os.listdir(ndjson_dir)
-                   if f.endswith(".ndjson"))
-    for f in files:
-        batch_id = int(f.rsplit("-", 1)[1].split(".")[0])
+                   if not f.startswith((".", "_"))
+                   and not f.endswith((".crc", ".tmp")))
+    for pos, f in enumerate(files):
+        # batch id from the filename's trailing digits when present
+        # (batch-00003.ndjson), else the file's sorted position — both
+        # stable across re-runs, which is all fencing needs
+        stem = f.rsplit(".", 1)[0]
+        digits = stem.rsplit("-", 1)[-1]
+        batch_id = int(digits) if digits.isdigit() else pos
         if table.is_committed(batch_id):
             continue
         lines = spark.read.text(os.path.join(ndjson_dir, f))

@@ -182,6 +182,85 @@ def test_poisoned_lines_quarantine_not_crash(spark, tmp_path):
     assert q.count() == 2
 
 
+def test_parse_maxwell_matches_debezium_semantics(spark):
+    """Maxwell's envelope shape (flat data map, word ops, file:offset
+    position) parses to the same engine events as the Debezium twin."""
+    lines = [
+        '{"database":"d","table":"transcripts","type":"insert","ts":1,'
+        '"position":"binlog.0001:100","data":{"conv_id":"c1","turn_idx":0,'
+        '"role":"user","text":"hi","ts_us":5}}',
+        '{"database":"d","table":"transcripts","type":"update","ts":2,'
+        '"position":"binlog.0001:200","data":{"conv_id":"c1","turn_idx":0,'
+        '"role":"user","text":"hi!","ts_us":6},"old":{"text":"hi"}}',
+        '{"database":"d","table":"transcripts","type":"delete","ts":3,'
+        '"position":"binlog.0001:300","data":{"conv_id":"c1","turn_idx":0,'
+        '"role":"user","text":"hi!","ts_us":6}}',
+        '{"database":"d","table":"transcripts","type":"table-create",'
+        '"position":"binlog.0001:400"}',
+        "garbage",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    rows = {r.lsn: r for r in E.parse_maxwell(df).collect()}
+    assert rows[100].op == "I" and rows[100].text == "hi"
+    assert rows[200].op == "U" and rows[200].text == "hi!"
+    assert rows[300].op == "D" and rows[300].conv_id == "c1"
+    # DDL event (lsn 400) and garbage (lsn null) both surface as op-null
+    # events -> quarantineable, never fatal, never silently dropped
+    assert rows[400].op is None and rows[None].op is None
+    assert len(rows) == 5
+
+
+def test_route_debezium_demultiplexes_one_topic(spark, tmp_path):
+    """One envelope stream carrying two tables' changes routes to two
+    engine tables with per-table apply; unknown tables + garbage land in
+    the _unrouted DLQ with their raw lines, never silently dropped."""
+    def env(table, conv, lsn):
+        return (f'{{"op":"c","after":{{"conv_id":"{conv}","turn_idx":0,'
+                f'"role":"user","text":"t","ts_us":1}},'
+                f'"source":{{"lsn":{lsn},"table":"{table}"}}}}')
+
+    lines = [env("transcripts", "a", 1), env("annotations", "b", 2),
+             env("transcripts", "c", 3), env("mystery", "d", 4), "garbage"]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    routed = E.route_debezium(df, ["transcripts", "annotations"])
+    for name, n_rows, convs in (("transcripts", 2, {"a", "c"}),
+                                ("annotations", 1, {"b"})):
+        t = CowTable(str(tmp_path / name), n_buckets=2)
+        t.create()
+        mor_apply_batch(spark, t, routed[name], 0)
+        t.refresh()
+        live = _live_rows(spark, t)
+        assert len(live) == n_rows
+        assert {r["conv_id"] for r in live} == convs
+    rejects = routed[E.REJECT_TABLE].collect()
+    assert len(rejects) == 2
+    assert {r._route for r in rejects} == {"mystery", None}
+    assert any(r.raw == "garbage" for r in rejects)
+
+
+def test_snapshot_envelopes_bootstrap_replica(spark, dbz_env, tmp_path):
+    """Debezium's initial-snapshot stream: op='r' envelopes of every live
+    row, at faithful LSNs. Parsing + applying bootstraps a replica equal
+    to the source's live state, and a later tail over the same source
+    resolves against the bootstrap correctly by LWW (the snapshot rows
+    carry their true winning LSNs, not LSN 0)."""
+    table = E.ingest_debezium(spark, dbz_env["ndjson"],
+                              os.path.join(dbz_env["work"], "t3"),
+                              n_buckets=4)
+    snap_env = E.to_debezium_snapshot(spark, table)
+    replica = CowTable(str(tmp_path / "rep"), n_buckets=4)
+    replica.create()
+    mor_apply_batch(spark, replica, E.parse_debezium(snap_env), 0)
+    replica.refresh()
+    assert _live_rows(spark, replica) == _live_rows(spark, table)
+    # faithful LSNs: replica's raw winners carry the source's LSNs
+    src = {(r.conv_id, r.turn_idx): r._lsn
+           for r in table.read_raw(spark).collect() if not r._deleted}
+    rep = {(r.conv_id, r.turn_idx): r._lsn
+           for r in replica.read_raw(spark).collect() if not r._deleted}
+    assert rep == src
+
+
 def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
         spark, dbz_env, tmp_path):
     """The Kafka-topology leg: envelope NDJSON tailed as a file stream,
