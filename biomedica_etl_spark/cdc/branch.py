@@ -76,6 +76,11 @@ def fork_table(
     ``pin_source=False`` the caller owns retention (a source
     ``expire_snapshots`` that drops the fork base then breaks the branch,
     the documented hazard of shallow clones everywhere).
+
+    The tag is written BEFORE the branch manifest (a fork crashing in
+    between leaves a stranded pin an operator releases with
+    ``src.remove_tag``, which is safe); the other order would let an
+    expiration race delete the shared dirs out from under a live fork.
     """
     src._load_all()
     snap = (src.current_snapshot() if snapshot_id is None
@@ -134,29 +139,30 @@ def branch_changes(spark: SparkSession, branch: CowTable) -> DataFrame:
         )
     except ValueError:
         pass  # non-serveable window: fall through to the semantic diff
-    changed = branch.diff(spark, FORK_SNAPSHOT_ID).persist()
-    try:
-        n_buckets = branch.n_buckets
-        buckets = sorted(
-            r[0] for r in changed
-            .select(bucket_expr("conv_id", n_buckets).alias("b"))
-            .distinct().collect())  # O(n_buckets) driver rows, bounded
-        dels = changed.filter(F.col("change_type") == "delete").select(
-            F.col("new_lsn").alias("lsn"), F.lit("D").alias("op"),
-            "conv_id", "turn_idx",
-            *[F.lit(None).cast(dict(PAYLOAD_FIELDS)[c]).alias(c)
-              for c in payload],
-        )
-        ups_keys = (changed.filter(F.col("change_type") != "delete")
-                    .select("conv_id", "turn_idx"))
-        cur = branch.read_raw(spark, buckets=buckets)
-        ups = cur.join(ups_keys, on=["conv_id", "turn_idx"], how="left_semi").select(
-            F.col(SYS_LSN).alias("lsn"), F.lit("U").alias("op"),
-            "conv_id", "turn_idx", *payload,
-        )
-        return ups.unionByName(dels)
-    finally:
-        changed.unpersist()
+    # localCheckpoint (the dedup.py discipline), NOT persist/unpersist: the
+    # returned frame executes AFTER this function returns, so an unpersist
+    # here would silently recompute the two-version diff at apply time,
+    # and a leaked persist would pin executor storage with no owner
+    changed = branch.diff(spark, FORK_SNAPSHOT_ID).localCheckpoint()
+    n_buckets = branch.n_buckets
+    buckets = sorted(
+        r[0] for r in changed
+        .select(bucket_expr("conv_id", n_buckets).alias("b"))
+        .distinct().collect())  # O(n_buckets) driver rows, bounded
+    dels = changed.filter(F.col("change_type") == "delete").select(
+        F.col("new_lsn").alias("lsn"), F.lit("D").alias("op"),
+        "conv_id", "turn_idx",
+        *[F.lit(None).cast(dict(PAYLOAD_FIELDS)[c]).alias(c)
+          for c in payload],
+    )
+    ups_keys = (changed.filter(F.col("change_type") != "delete")
+                .select("conv_id", "turn_idx"))
+    cur = branch.read_raw(spark, buckets=buckets)
+    ups = cur.join(ups_keys, on=["conv_id", "turn_idx"], how="left_semi").select(
+        F.col(SYS_LSN).alias("lsn"), F.lit("U").alias("op"),
+        "conv_id", "turn_idx", *payload,
+    )
+    return ups.unionByName(dels)
 
 
 def merge_branch(
