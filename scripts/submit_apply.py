@@ -24,7 +24,15 @@ import json
 
 def main() -> None:
     p = argparse.ArgumentParser(description="Apply a CDC change log to a table")
-    p.add_argument("--log-dir", required=True)
+    p.add_argument("--log-dir", default=None,
+                   help="parquet change-log directory (the batch runner)")
+    p.add_argument("--debezium-dir", default=None, metavar="DIR",
+                   help="ingest Debezium-envelope NDJSON instead of a "
+                        "parquet log: tailed as a checkpointed stream "
+                        "(stream_apply_debezium, availableNow) — the "
+                        "Kafka-topology deployment with a file source "
+                        "standing in; exactly-once across restarts via "
+                        "the checkpoint under <table-root>/_stream_ckpt")
     p.add_argument("--table-root", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--mode", choices=["cow", "mor"], default="mor")
@@ -78,6 +86,22 @@ def main() -> None:
     args = p.parse_args()
     if (args.update_where is None) != (args.update_set is None):
         p.error("--update-where and --update-set must be given together")
+    if (args.log_dir is None) == (args.debezium_dir is None):
+        p.error("exactly one of --log-dir / --debezium-dir is required")
+    if args.debezium_dir is not None:
+        unsupported = [flag for flag, on in (
+            ("--pipeline-depth", args.pipeline_depth > 1),
+            ("--async-compact", args.async_compact),
+            ("--async-maintain", args.async_maintain),
+            ("--fold-tier-bytes", args.fold_tier_bytes != 0),
+            ("--delete-where", args.delete_where is not None),
+            ("--update-where", args.update_where is not None),
+            ("--merge-from", args.merge_from is not None),
+            ("--max-batches", args.max_batches is not None),
+        ) if on]
+        if unsupported:
+            p.error("not supported with --debezium-dir (epochs are "
+                    "stream-driven): " + ", ".join(unsupported))
 
     # import AFTER spark-submit has added --py-files zips to sys.path
     from pyspark.sql import SparkSession
@@ -94,6 +118,33 @@ def main() -> None:
         from biomedica_etl_spark.cdc.history import HistoryTable
 
         maintain.append(HistoryTable(args.maintain_history))
+
+    if args.debezium_dir is not None:
+        import os
+
+        from biomedica_etl_spark.cdc.table import CowTable
+        from biomedica_etl_spark.streaming import stream_apply_debezium
+
+        q = stream_apply_debezium(
+            spark, args.debezium_dir, args.table_root,
+            os.path.join(args.table_root, "_stream_ckpt"),
+            n_buckets=args.n_buckets, mode=args.mode,
+            compact_every=args.compact_every,
+            maintain=maintain, maintain_every=args.maintain_every,
+        )
+        q.awaitTermination()
+        table = CowTable(args.table_root)
+        for m in maintain:  # drain-time catch-up (no-op at head)
+            m.refresh(spark, table)
+        head = table.current_snapshot()
+        print(json.dumps({
+            "source": "debezium",
+            "snapshot_id": head["snapshot_id"],
+            "rows_live": table.read(spark).count(),
+        }))
+        spark.stop()
+        return
+
     runner = CdcRunner(
         spark,
         args.log_dir,
