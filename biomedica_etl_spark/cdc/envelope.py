@@ -175,9 +175,15 @@ def to_debezium(
     ``(key, _lsn)`` to pair the two update rows — a single extra shuffle
     on a high-cardinality key.
     """
-    payload = [c for c, _ in PAYLOAD_FIELDS if c not in ("conv_id", "turn_idx")]
     imgs = table.read_changes_with_images(spark, from_snapshot,
                                           to_snapshot=to_snapshot)
+    return envelopes_from_images(imgs)
+
+
+def envelopes_from_images(imgs: DataFrame) -> DataFrame:
+    """Pair a ``read_changes_with_images`` frame into Debezium envelopes
+    (the shared tail of :func:`to_debezium` and :func:`relay_debezium`)."""
+    payload = [c for c, _ in PAYLOAD_FIELDS if c not in ("conv_id", "turn_idx")]
 
     def _img_struct():
         cols = [F.col("conv_id"), F.col("turn_idx")]
@@ -299,6 +305,59 @@ def route_debezium(
         F.col("_route").isNull() | ~F.col("_route").isin(list(tables))
     ).select("_route", "raw")
     return out
+
+
+def relay_debezium(
+    spark: SparkSession, cursor, table: CowTable, out_dir: str,
+    max_windows: int | None = None,
+) -> list[dict[str, Any]]:
+    """Crash-safe CDC relay: drain unconsumed feed windows as Debezium
+    envelope NDJSON files — the engine acting as a Debezium SERVER, the
+    emission twin of ``feed.replicate_window``'s consumption.
+
+    One poll/write/commit cycle per window: the pinned image window
+    ``(cursor, token]`` pairs into envelopes, lands as
+    ``window-<token>.ndjson`` via write-then-atomic-rename, and only then
+    does the cursor commit. A crash between the write and the commit
+    re-serves the SAME window into the SAME filename (idempotent
+    overwrite), so a downstream ``ingest_debezium`` — whose batch ids
+    come from those filenames — sees each window exactly once no matter
+    where the relay died. Empty windows (every change lost LWW) still
+    emit their file and advance, so the output directory is a gapless
+    record of consumed tokens. Unservable windows raise the feed's
+    resync contract (the consumer re-bootstraps from
+    ``to_debezium_snapshot`` and ``cursor.reset``).
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    results: list[dict[str, Any]] = []
+    while max_windows is None or len(results) < max_windows:
+        out = cursor.poll(spark, table)
+        if out is None:
+            return results
+        imgs, token = out
+        env = envelopes_from_images(imgs).select("value")
+        stage = os.path.join(out_dir, f".stage-{_uuid.uuid4().hex}")
+        # one file per window: a change window is delta-sized by
+        # construction, so the single-task coalesce is bounded by the
+        # window, never the table
+        env.coalesce(1).write.mode("overwrite").text(stage)
+        parts = _glob.glob(os.path.join(stage, "part-*"))
+        final = os.path.join(out_dir, f"window-{token:08d}.ndjson")
+        if parts:
+            os.replace(parts[0], final)
+        else:  # empty window: no part file written, emit the empty record
+            with open(os.path.join(stage, "empty"), "w") as f:
+                f.flush()
+            os.replace(os.path.join(stage, "empty"), final)
+        _shutil.rmtree(stage, ignore_errors=True)
+        n = sum(1 for _ in open(final))
+        cursor.commit(token)
+        results.append({"token": token, "lines": n})
+    return results
 
 
 def to_debezium_snapshot(

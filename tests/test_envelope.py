@@ -261,6 +261,68 @@ def test_snapshot_envelopes_bootstrap_replica(spark, dbz_env, tmp_path):
     assert rep == src
 
 
+def test_relay_debezium_crash_safe_fan_out(spark, dbz_env, tmp_path):
+    """The engine as a Debezium server: snapshot bootstrap + cursor-driven
+    window relay into NDJSON, crash-safe (a crash between file write and
+    cursor commit re-emits the SAME window into the SAME filename), and
+    a downstream ingest_debezium over the relay directory reproduces the
+    source exactly once per window."""
+    from biomedica_etl_spark.cdc.envelope import relay_debezium
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor
+
+    runner = CdcRunner(spark, dbz_env["log"], str(tmp_path / "src"),
+                       n_buckets=4, mode="mor", compact_every=1000)
+    runner.run(max_batches=2)
+    out_dir = str(tmp_path / "relay")
+    os.makedirs(out_dir)
+
+    # bootstrap: the initial-snapshot stream, named to sort FIRST so the
+    # downstream ingest applies it before any window
+    boot = E.to_debezium_snapshot(spark, runner.table)
+    boot_lines = [r.value for r in boot.collect()]
+    with open(os.path.join(out_dir, "a-bootstrap-00000000.ndjson"), "w") as f:
+        f.write("\n".join(boot_lines) + "\n")
+    cursor = ImageFeedCursor(str(tmp_path / "cur"))
+    cursor.initialize(runner.table)
+
+    runner.run(max_batches=1)  # window 1: one more log batch
+    res1 = relay_debezium(spark, cursor, runner.table, out_dir)
+    assert len(res1) == 1 and res1[0]["lines"] > 0
+
+    runner.run()               # window 2: the rest
+    runner.delete_where("role = 'system'", batch_id=9_200_001)  # window 3
+
+    # crash simulation: the file write succeeds, the cursor commit dies
+    real_commit = ImageFeedCursor.commit
+    fail = {"armed": True}
+
+    def dying_commit(self, token):
+        if fail["armed"]:
+            fail["armed"] = False
+            raise RuntimeError("simulated crash before cursor commit")
+        return real_commit(self, token)
+
+    import pytest as _pytest
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(ImageFeedCursor, "commit", dying_commit)
+        with _pytest.raises(RuntimeError):
+            relay_debezium(spark, cursor, runner.table, out_dir)
+        files_after_crash = sorted(os.listdir(out_dir))
+        res2 = relay_debezium(spark, cursor, runner.table, out_dir)
+    # the re-run re-emitted the same window file, then drained
+    assert res2 and sorted(os.listdir(out_dir))[:len(files_after_crash)] \
+        == files_after_crash
+
+    replica = E.ingest_debezium(spark, out_dir, str(tmp_path / "replica"),
+                                n_buckets=4)
+    assert _live_rows(spark, replica) == _live_rows(spark, runner.table)
+    # and re-ingesting the relay dir commits nothing (filename batch ids)
+    n_snaps = len(replica.snapshots())
+    E.ingest_debezium(spark, out_dir, str(tmp_path / "replica"), n_buckets=4)
+    replica.refresh()
+    assert len(replica.snapshots()) == n_snaps
+
+
 def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
         spark, dbz_env, tmp_path):
     """The Kafka-topology leg: envelope NDJSON tailed as a file stream,
