@@ -478,6 +478,8 @@ def main() -> None:
     queries["cdc_join_view_refresh"] = cdc["view_refresh_sec"]
     queries["cdc_history_bootstrap"] = cdc["history_bootstrap_sec"]
     queries["cdc_history_refresh"] = cdc["history_refresh_sec"]
+    queries["cdc_debezium_ingest"] = cdc["dbz_ingest_sec"]
+    queries["cdc_branch_merge"] = cdc["branch_merge_sec"]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -504,6 +506,10 @@ def main() -> None:
                 "cdc_events_per_sec_sustained_with_index": round(
                     cdc_events / cdc["sustained_idx_sec"], 1
                 ),
+                "dbz_lines": cdc["dbz_lines"],
+                "dbz_lines_per_sec": cdc["dbz_lines_per_sec"],
+                "fork_sec": cdc["fork_sec"],
+                "branch_merge_sec": cdc["branch_merge_sec"],
                 "cdc_attempts": cdc["attempts"],
                 "cdc_sustained_attempts": cdc["sustained_attempts"],
                 "cdc_sustained_idx_attempts": cdc["sustained_idx_attempts"],
