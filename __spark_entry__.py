@@ -1038,6 +1038,41 @@ def _cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.table.read(spark).orderBy("conv_id", "turn_idx")
 
 
+def _cdc_debezium_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full relay loop as a query: build the source in phases, emit a
+    snapshot bootstrap + cursor-driven envelope windows (one of them a
+    predicate-delete window), then ingest the relay directory into a
+    replica. The replica's live state must equal the source's — the
+    delete-where replay oracle. Exercises the engine-as-Debezium-server
+    path (relay_debezium) end to end under the driver's hash gate."""
+    from biomedica_etl_spark.cdc.envelope import (
+        ingest_debezium, relay_debezium, to_debezium_snapshot)
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor
+    from biomedica_etl_spark.cdc.runner import CdcRunner
+
+    log = _ensure_entry_log()
+    work = tempfile.mkdtemp(prefix="cdc-relay-")
+    src = CdcRunner(spark, log, os.path.join(work, "src"), n_buckets=8,
+                    mode="mor", compact_every=1000)
+    src.run(max_batches=2)
+    out_dir = os.path.join(work, "relay")
+    os.makedirs(out_dir)
+    boot = to_debezium_snapshot(spark, src.table)
+    with open(os.path.join(out_dir, "a-bootstrap-00000000.ndjson"), "w") as f:
+        lines = [r.value for r in boot.collect()]
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    cursor = ImageFeedCursor(os.path.join(work, "cursor"))
+    cursor.initialize(src.table)
+    src.run(max_batches=1)
+    relay_debezium(spark, cursor, src.table, out_dir)
+    src.run()
+    src.delete_where(_DELETE_PRED_SPARK, batch_id=9_300_001)
+    relay_debezium(spark, cursor, src.table, out_dir)
+    replica = ingest_debezium(spark, out_dir, os.path.join(work, "replica"),
+                              n_buckets=8)
+    return replica.read(spark).orderBy("conv_id", "turn_idx")
+
+
 def _cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emit-then-ingest loop: build the source table from the entry log,
     render its full-history CDF image feed as Debezium envelopes
@@ -1092,6 +1127,7 @@ _PRIORITY_ORDER = (
     "cdc_as_of_lsn",
     "cdc_debezium_ingest",
     "cdc_debezium_roundtrip",
+    "cdc_debezium_relay",
     "cdc_branch_merge",
     # round-4 additions (driver has never seen these names)
     "xml_caption_extract",
@@ -1105,7 +1141,6 @@ _PRIORITY_ORDER = (
     "embedding_near_dup",
     "ann_lsh_bucketed",
     "ann_ivf_coarse",
-    "ann_ivf_nprobe2",
     "ann_recall_report",
     "multimodal_decode",
     "multimodal_embed",
@@ -1133,6 +1168,7 @@ _PRIORITY_ORDER = (
     "multimodal_resize",
     "dbscan_labels_bucketed",
     "ann_lsh_multiprobe",
+    "ann_ivf_nprobe2",
 )
 
 
@@ -1168,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_as_of_lsn"] = _cdc_as_of_lsn
     out["cdc_debezium_ingest"] = _cdc_debezium_ingest
     out["cdc_debezium_roundtrip"] = _cdc_debezium_roundtrip
+    out["cdc_debezium_relay"] = _cdc_debezium_relay
     out["cdc_branch_merge"] = _cdc_branch_merge
     return _reorder(out)
 
@@ -1200,4 +1237,6 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_debezium_roundtrip"] = _cdc_oracle_sql()
     # the branch detour must be semantically invisible: same replay oracle
     out["cdc_branch_merge"] = _cdc_oracle_sql()
+    # relay replica = source live state after the delete window
+    out["cdc_debezium_relay"] = _cdc_delete_where_oracle_sql()
     return _reorder(out)
