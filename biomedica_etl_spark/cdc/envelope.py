@@ -74,7 +74,12 @@ def _image_struct() -> T.StructType:
 
 
 def debezium_value_schema() -> T.StructType:
-    """Spark schema of one envelope record's value."""
+    """Spark schema of one envelope record's value. The optional
+    ``transaction`` block is Debezium's transaction metadata (emitted
+    with ``provide.transaction.metadata``): ``id`` names the source
+    transaction, ``event_count`` its total event count (known at commit
+    time — the binlog reader emits after commit), ``total_order`` the
+    event's position within it."""
     return T.StructType([
         T.StructField("before", _image_struct(), True),
         T.StructField("after", _image_struct(), True),
@@ -86,6 +91,11 @@ def debezium_value_schema() -> T.StructType:
         ]), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("transaction", T.StructType([
+            T.StructField("id", T.StringType(), True),
+            T.StructField("total_order", T.LongType(), True),
+            T.StructField("event_count", T.LongType(), True),
+        ]), True),
     ])
 
 
@@ -117,16 +127,26 @@ def _events_select(val, img, op) -> list:
     ]
 
 
-def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_debezium(df: DataFrame, value_col: str = "value",
+                   with_transaction: bool = False) -> DataFrame:
     """Envelope JSON lines -> engine change events (target schema).
 
     A line that fails to parse, names an unknown op, or lacks key/lsn
     yields an event the merge gate quarantines (null op / null key /
     null lsn all fail ``_valid_pred``) — poisoned input degrades to the
     quarantine side-channel, never a crash and never a silent drop.
+
+    ``with_transaction=True`` appends ``_txn_id`` / ``_txn_total`` from
+    the envelope's transaction metadata block (null for events outside
+    any transaction); the merge path drops the extra columns, so only
+    transaction-aware consumers (``ingest_debezium_txn``) read them.
     """
     val, img, op = _parsed(df, value_col)
-    return align_to_target(df.select(*_events_select(val, img, op)))
+    cols = list(_events_select(val, img, op))
+    if with_transaction:
+        cols += [val["transaction"]["id"].alias("_txn_id"),
+                 val["transaction"]["event_count"].alias("_txn_total")]
+    return align_to_target(df.select(*cols))
 
 
 def parse_debezium_with_rejects(
@@ -305,6 +325,103 @@ def route_debezium(
         F.col("_route").isNull() | ~F.col("_route").isin(list(tables))
     ).select("_route", "raw")
     return out
+
+
+def ingest_debezium_txn(
+    spark: SparkSession, ndjson_dir: str, table_path: str,
+    n_buckets: int = 8, state_dir: str | None = None,
+    quarantine_dir: str | None = None,
+) -> CowTable:
+    """Transaction-boundary-aware envelope ingest: a source transaction
+    becomes visible ATOMICALLY or not at all — never torn across
+    micro-batch commits.
+
+    Debezium's transaction metadata (``transaction.id`` +
+    ``event_count`` on every data event) makes completeness decidable:
+    a transaction is complete in the accumulated stream once all
+    ``event_count`` of its events have arrived. Per NDJSON file (= one
+    fenced micro-batch): union the file's events with the carried-over
+    incomplete-transaction events, split complete (all counted, plus
+    events outside any transaction) from incomplete, apply the complete
+    set through the ordinary fenced merge, then atomically publish the
+    new pending state as ``pending-<pos>``. Readers at ANY snapshot see
+    only whole transactions — the guarantee a downstream consumer needs
+    to join tables consistently off a one-topic stream.
+
+    Crash-safe by determinism: the split is a pure function of
+    ``(pending-<pos-1>, file)``, both immutable, so a crash anywhere
+    replays into the identical complete-set (the apply fences on the
+    batch id) and the identical pending state. ``pending-<pos>``'s
+    ``_DONE`` marker is the batch's completion record; resume skips
+    batches whose apply is committed AND whose pending state is
+    published. Deferral is safe under LWW: a deferred event applies
+    later at its original LSN, and max-LSN resolution is
+    order-independent.
+
+    Scale: the pending set is bounded by in-flight transactions (the
+    tail of the current batch), not history; the completeness check is
+    one groupBy on ``_txn_id`` over ``O(batch + pending)`` rows.
+    """
+    from .merge import mor_apply_batch
+    from .schema import target_change_schema
+
+    table = CowTable(table_path, n_buckets=n_buckets)
+    table.create()
+    state_dir = state_dir or os.path.join(table_path, "_txn_pending")
+    os.makedirs(state_dir, exist_ok=True)
+    txn_cols = ["_txn_id", "_txn_total"]
+    pending_schema = T.StructType(
+        list(target_change_schema().fields)
+        + [T.StructField("_txn_id", T.StringType(), True),
+           T.StructField("_txn_total", T.LongType(), True)])
+    files = sorted(f for f in os.listdir(ndjson_dir)
+                   if not f.startswith((".", "_"))
+                   and not f.endswith((".crc", ".tmp")))
+
+    def _pending_path(pos: int) -> str:
+        return os.path.join(state_dir, f"pending-{pos:05d}")
+
+    def _read_pending(pos: int) -> DataFrame | None:
+        p = _pending_path(pos)
+        if not os.path.exists(os.path.join(p, "_DONE")):
+            return None
+        return spark.read.schema(pending_schema).parquet(p)
+
+    for pos, f in enumerate(files):
+        stem = f.rsplit(".", 1)[0]
+        digits = stem.rsplit("-", 1)[-1]
+        batch_id = int(digits) if digits.isdigit() else pos
+        if table.is_committed(batch_id) and _read_pending(pos) is not None:
+            continue
+        ev = parse_debezium(spark.read.text(os.path.join(ndjson_dir, f)),
+                            with_transaction=True)
+        prev = _read_pending(pos - 1) if pos > 0 else None
+        if prev is not None and pos > 0:
+            ev = ev.unionByName(prev)
+        in_txn = ev.filter(F.col("_txn_id").isNotNull())
+        done_ids = (
+            in_txn.groupBy("_txn_id")
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("_txn_total").alias("_t"))
+            .filter(F.col("_n") >= F.col("_t")).select("_txn_id")
+        )
+        complete = ev.filter(F.col("_txn_id").isNull()).unionByName(
+            in_txn.join(F.broadcast(done_ids), "_txn_id", "left_semi"))
+        incomplete = in_txn.join(F.broadcast(done_ids), "_txn_id", "left_anti")
+        mor_apply_batch(spark, table, complete.drop(*txn_cols), batch_id,
+                        quarantine_dir=quarantine_dir)
+        table.refresh()
+        # publish pending AFTER the fenced apply: a crash in between
+        # replays the identical deterministic split into a fenced no-op
+        stage = _pending_path(pos) + f".stage-{os.getpid()}"
+        incomplete.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_DONE"), "w") as fh:
+            fh.write("ok")
+        final = _pending_path(pos)
+        if os.path.isdir(final):
+            import shutil as _sh
+            _sh.rmtree(final, ignore_errors=True)
+        os.rename(stage, final)
+    return table
 
 
 def relay_debezium(

@@ -323,6 +323,92 @@ def test_relay_debezium_crash_safe_fan_out(spark, dbz_env, tmp_path):
     assert len(replica.snapshots()) == n_snaps
 
 
+def _txn_env(conv, turn, lsn, txn=None, total=None, text="x", op="c"):
+    img = {"conv_id": conv, "turn_idx": turn, "role": "user",
+           "text": text, "ts_us": lsn}
+    d = {"op": op, "after": None if op == "d" else img,
+         "before": img if op == "d" else None,
+         "source": {"lsn": lsn}}
+    if txn is not None:
+        d["transaction"] = {"id": txn, "event_count": total, "total_order": 1}
+    return json.dumps(d)
+
+
+def test_txn_aware_ingest_atomic_visibility(spark, tmp_path):
+    """A source transaction split across micro-batch files is NEVER
+    visible torn: its events defer until the transaction completes, then
+    apply atomically in one fenced commit. Crash between the apply and
+    the pending-state publish replays deterministically."""
+    from biomedica_etl_spark.cdc.envelope import ingest_debezium_txn
+
+    ndj = str(tmp_path / "ndj")
+    os.makedirs(ndj)
+    # file 0: txn A complete (2 events), txn B partial (1 of 2), one
+    # bare (non-transactional) event
+    with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
+        f.write("\n".join([
+            _txn_env("a", 0, 10, txn="A", total=2),
+            _txn_env("a", 1, 11, txn="A", total=2),
+            _txn_env("b", 0, 12, txn="B", total=2),
+            _txn_env("c", 0, 13),
+        ]) + "\n")
+
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    # txn A atomic-in, bare event in, txn B invisible (torn)
+    assert live == {("a", 0), ("a", 1), ("c", 0)}
+
+    # file 1 arrives with B's remainder + another bare event
+    with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
+        f.write("\n".join([
+            _txn_env("b", 1, 14, txn="B", total=2),
+            _txn_env("d", 0, 15),
+        ]) + "\n")
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert live == {("a", 0), ("a", 1), ("b", 0), ("b", 1),
+                    ("c", 0), ("d", 0)}
+
+    # full re-run: nothing commits (fenced applies + published pendings)
+    n_snaps = len(t.snapshots())
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    assert len(t.snapshots()) == n_snaps
+
+    # crash between batch 1's apply and its pending publish: the pending
+    # dir is gone but the apply is committed — the re-run replays the
+    # identical deterministic split into a fenced no-op, then republishes
+    import shutil
+    shutil.rmtree(os.path.join(str(tmp_path / "t"), "_txn_pending",
+                               "pending-00001"))
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    assert len(t.snapshots()) == n_snaps
+    live2 = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert live2 == live
+
+
+def test_txn_aware_ingest_never_completing_txn_stays_pending(
+        spark, tmp_path):
+    """An abandoned transaction (writer died mid-emit upstream) defers
+    forever rather than applying torn — and its events sit inspectable
+    in the pending state, the operator's signal to resync."""
+    from biomedica_etl_spark.cdc.envelope import ingest_debezium_txn
+
+    ndj = str(tmp_path / "ndj")
+    os.makedirs(ndj)
+    with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
+        f.write(_txn_env("z", 0, 20, txn="Z", total=3) + "\n"
+                + _txn_env("ok", 0, 21) + "\n")
+    with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
+        f.write(_txn_env("ok", 1, 22) + "\n")
+
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert live == {("ok", 0), ("ok", 1)}
+    pending = spark.read.parquet(
+        os.path.join(str(tmp_path / "t"), "_txn_pending", "pending-00001"))
+    assert [r["_txn_id"] for r in pending.collect()] == ["Z"]
+
+
 def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
         spark, dbz_env, tmp_path):
     """The Kafka-topology leg: envelope NDJSON tailed as a file stream,
