@@ -156,7 +156,8 @@ def parse_debezium_with_rejects(
 
     ``rejects`` keeps the RAW envelope line plus a ``reject_reason``
     (``corrupt_json`` / ``unknown_op`` / ``missing_key`` /
-    ``missing_lsn``) — the Kafka-DLQ shape, where a consumer republishes
+    ``invalid_key`` / ``missing_lsn``) — the Kafka-DLQ shape, where a
+    consumer republishes
     the raw record for offline repair. ``events`` holds only clean rows,
     so a caller using this split can apply without the quarantine dir.
     Both sides are projections of ONE parse — Catalyst collapses the
@@ -170,6 +171,11 @@ def parse_debezium_with_rejects(
         .when(op.isNull(), F.lit("unknown_op"))
         .when(img["conv_id"].isNull() | img["turn_idx"].isNull(),
               F.lit("missing_key"))
+        # mirror merge._valid_pred EXACTLY: the split's contract is that
+        # the clean side applies without the quarantine dir, so anything
+        # the merge gate would quarantine must land here instead (the
+        # negative-turn_idx case was found by the parser fuzz property)
+        .when(img["turn_idx"] < 0, F.lit("invalid_key"))
         .when(val["source"]["lsn"].isNull(), F.lit("missing_lsn"))
     )
     tagged = df.select(F.col(value_col).alias("raw"), reason.alias("reject_reason"),
@@ -327,6 +333,37 @@ def route_debezium(
     return out
 
 
+def txn_split(ev: DataFrame, prev: DataFrame | None
+              ) -> tuple[DataFrame, DataFrame]:
+    """Split (new events + carried-over pending) into (complete,
+    incomplete) by Debezium transaction completeness: a transaction is
+    complete once all ``event_count`` of its events are present; events
+    outside any transaction are complete by definition. Pure function of
+    its inputs — the crash-replay determinism both transactional
+    appliers rely on."""
+    if prev is not None:
+        ev = ev.unionByName(prev)
+    in_txn = ev.filter(F.col("_txn_id").isNotNull())
+    done_ids = (
+        in_txn.groupBy("_txn_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_txn_total").alias("_t"))
+        .filter(F.col("_n") >= F.col("_t")).select("_txn_id")
+    )
+    complete = ev.filter(F.col("_txn_id").isNull()).unionByName(
+        in_txn.join(F.broadcast(done_ids), "_txn_id", "left_semi"))
+    incomplete = in_txn.join(F.broadcast(done_ids), "_txn_id", "left_anti")
+    return complete, incomplete
+
+
+def pending_txn_schema() -> T.StructType:
+    from .schema import target_change_schema
+
+    return T.StructType(
+        list(target_change_schema().fields)
+        + [T.StructField("_txn_id", T.StringType(), True),
+           T.StructField("_txn_total", T.LongType(), True)])
+
+
 def ingest_debezium_txn(
     spark: SparkSession, ndjson_dir: str, table_path: str,
     n_buckets: int = 8, state_dir: str | None = None,
@@ -363,17 +400,13 @@ def ingest_debezium_txn(
     one groupBy on ``_txn_id`` over ``O(batch + pending)`` rows.
     """
     from .merge import mor_apply_batch
-    from .schema import target_change_schema
 
     table = CowTable(table_path, n_buckets=n_buckets)
     table.create()
     state_dir = state_dir or os.path.join(table_path, "_txn_pending")
     os.makedirs(state_dir, exist_ok=True)
     txn_cols = ["_txn_id", "_txn_total"]
-    pending_schema = T.StructType(
-        list(target_change_schema().fields)
-        + [T.StructField("_txn_id", T.StringType(), True),
-           T.StructField("_txn_total", T.LongType(), True)])
+    pending_schema = pending_txn_schema()
     files = sorted(f for f in os.listdir(ndjson_dir)
                    if not f.startswith((".", "_"))
                    and not f.endswith((".crc", ".tmp")))
@@ -396,17 +429,7 @@ def ingest_debezium_txn(
         ev = parse_debezium(spark.read.text(os.path.join(ndjson_dir, f)),
                             with_transaction=True)
         prev = _read_pending(pos - 1) if pos > 0 else None
-        if prev is not None and pos > 0:
-            ev = ev.unionByName(prev)
-        in_txn = ev.filter(F.col("_txn_id").isNotNull())
-        done_ids = (
-            in_txn.groupBy("_txn_id")
-            .agg(F.count(F.lit(1)).alias("_n"), F.max("_txn_total").alias("_t"))
-            .filter(F.col("_n") >= F.col("_t")).select("_txn_id")
-        )
-        complete = ev.filter(F.col("_txn_id").isNull()).unionByName(
-            in_txn.join(F.broadcast(done_ids), "_txn_id", "left_semi"))
-        incomplete = in_txn.join(F.broadcast(done_ids), "_txn_id", "left_anti")
+        complete, incomplete = txn_split(ev, prev)
         mor_apply_batch(spark, table, complete.drop(*txn_cols), batch_id,
                         quarantine_dir=quarantine_dir)
         table.refresh()

@@ -143,6 +143,7 @@ def stream_apply_debezium(
     available_now: bool = True,
     maintain: list | None = None,
     maintain_every: int = 1,
+    txn_aware: bool = False,
 ):
     """Tail a directory of Debezium-envelope NDJSON files as a stream and
     apply micro-batches through the same merge machinery as
@@ -157,7 +158,18 @@ def stream_apply_debezium(
     batch. Exactly-once: file-source checkpointing + the engine's fenced
     ``STREAM_BATCH_BASE + epoch_id`` commit ids, so a crash between sink
     commit and stream checkpoint replays an epoch into a structural
-    no-op."""
+    no-op.
+
+    ``txn_aware=True`` adds atomic transaction visibility (the batch
+    appliers' ``ingest_debezium_txn`` semantics on the stream): each
+    epoch splits (its events + carried-over pending) by Debezium
+    transaction completeness, applies only complete transactions, and
+    publishes the new pending state as ``pending-<epoch>`` AFTER the
+    fenced apply. The carry-over for epoch e reads the newest pending
+    with id < e, so a replayed epoch (crash after pending publish but
+    before the stream checkpoint advanced) re-reads its ORIGINAL input
+    state and replays into a fenced no-op — determinism again, across
+    epochs this time."""
     from ..cdc.envelope import parse_debezium
 
     table = CowTable(table_root, n_buckets=n_buckets)
@@ -166,10 +178,68 @@ def stream_apply_debezium(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.text(os.path.join(ndjson_dir, "*.ndjson"))
-    events = parse_debezium(lines, value_col="value")
-    return _start_apply_stream(spark, events, table, table_root, mode,
-                               compact_every, maintain, maintain_every,
-                               checkpoint_dir, available_now)
+    events = parse_debezium(lines, value_col="value",
+                            with_transaction=txn_aware)
+    if not txn_aware:
+        return _start_apply_stream(spark, events, table, table_root, mode,
+                                   compact_every, maintain, maintain_every,
+                                   checkpoint_dir, available_now)
+
+    if mode != "mor":
+        raise ValueError("txn_aware streaming apply requires mode='mor'")
+
+    from ..cdc.envelope import pending_txn_schema, txn_split
+    from ..cdc.merge import compact as _compact
+    from ..cdc.merge import mor_apply_batch
+
+    state_dir = os.path.join(table_root, "_txn_pending")
+    os.makedirs(state_dir, exist_ok=True)
+    schema = pending_txn_schema()
+
+    def _pending_before(epoch: int):
+        done = sorted(
+            int(d.split("-")[1]) for d in os.listdir(state_dir)
+            if d.startswith("pending-") and "." not in d
+            and os.path.exists(os.path.join(state_dir, d, "_DONE")))
+        prior = [e for e in done if e < epoch]
+        if not prior:
+            return None
+        return spark.read.schema(schema).parquet(
+            os.path.join(state_dir, f"pending-{prior[-1]:05d}"))
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        complete, incomplete = txn_split(batch_df,
+                                         _pending_before(epoch_id))
+        mor_apply_batch(
+            spark, table, complete.drop("_txn_id", "_txn_total"),
+            batch_id=STREAM_BATCH_BASE + epoch_id,
+            lineage_dir=os.path.join(table_root, "_lineage"),
+            quarantine_dir=os.path.join(table_root, "_quarantine"))
+        if table.max_delta_layers() >= compact_every:
+            _compact(spark, table)
+        stage = os.path.join(state_dir, f"pending-{epoch_id:05d}.stage")
+        incomplete.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_DONE"), "w") as fh:
+            fh.write("ok")
+        final = os.path.join(state_dir, f"pending-{epoch_id:05d}")
+        import shutil as _sh
+        if os.path.isdir(final):
+            _sh.rmtree(final, ignore_errors=True)
+        os.rename(stage, final)
+        # prune beyond the two newest: only the LAST uncheckpointed epoch
+        # can replay, and it reads the newest pending strictly below it
+        done = sorted(
+            d for d in os.listdir(state_dir)
+            if d.startswith("pending-") and "." not in d)
+        for d in done[:-2]:
+            _sh.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+    writer = (events.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_merge(

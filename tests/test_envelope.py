@@ -409,6 +409,53 @@ def test_txn_aware_ingest_never_completing_txn_stays_pending(
     assert [r["_txn_id"] for r in pending.collect()] == ["Z"]
 
 
+def test_txn_aware_streaming_apply(spark, tmp_path):
+    """The streaming half of atomic transaction visibility: with only
+    the first file present, a drained stream leaves the split
+    transaction invisible; the remainder arriving and a checkpoint
+    restart completes it atomically; a further restart commits nothing."""
+    from biomedica_etl_spark.streaming import stream_apply_debezium
+
+    ndj = str(tmp_path / "ndj")
+    os.makedirs(ndj)
+    with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
+        f.write("\n".join([
+            _txn_env("a", 0, 10, txn="A", total=2),
+            _txn_env("a", 1, 11, txn="A", total=2),
+            _txn_env("b", 0, 12, txn="B", total=2),
+            _txn_env("c", 0, 13),
+        ]) + "\n")
+    table_root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_apply_debezium(spark, ndj, table_root, ckpt, n_buckets=2,
+                              txn_aware=True, max_files_per_trigger=1)
+    assert q.awaitTermination(180)
+    table = CowTable(table_root)
+    live = {(r.conv_id, r.turn_idx) for r in table.read(spark).collect()}
+    assert live == {("a", 0), ("a", 1), ("c", 0)}  # B torn -> invisible
+
+    with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
+        f.write("\n".join([
+            _txn_env("b", 1, 14, txn="B", total=2),
+            _txn_env("d", 0, 15),
+        ]) + "\n")
+    q = stream_apply_debezium(spark, ndj, table_root, ckpt, n_buckets=2,
+                              txn_aware=True, max_files_per_trigger=1)
+    assert q.awaitTermination(180)
+    table.refresh()
+    live = {(r.conv_id, r.turn_idx) for r in table.read(spark).collect()}
+    assert live == {("a", 0), ("a", 1), ("b", 0), ("b", 1),
+                    ("c", 0), ("d", 0)}
+
+    n_snaps = len(table.snapshots())
+    q = stream_apply_debezium(spark, ndj, table_root, ckpt, n_buckets=2,
+                              txn_aware=True)
+    assert q.awaitTermination(120)
+    table.refresh()
+    assert len(table.snapshots()) == n_snaps
+
+
 def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
         spark, dbz_env, tmp_path):
     """The Kafka-topology leg: envelope NDJSON tailed as a file stream,

@@ -109,7 +109,8 @@ def test_parser_total_on_garbage(spark, lines):
     n_good, rejects = good.count(), rej.collect()
     assert n_good + len(rejects) == len(lines)
     assert all(r.reject_reason in
-               ("corrupt_json", "unknown_op", "missing_key", "missing_lsn")
+               ("corrupt_json", "unknown_op", "missing_key", "invalid_key",
+                "missing_lsn")
                for r in rejects)
     # the engine gate agrees with the split: clean events pass the merge
     # validity predicate, i.e. nothing quarantineable leaks through
