@@ -527,7 +527,8 @@ def to_debezium_snapshot(
     return raw.select(F.to_json(envelope).alias("value"))
 
 
-def write_debezium_log(log_dir: str, out_dir: str) -> int:
+def write_debezium_log(log_dir: str, out_dir: str,
+                       txn_events: int = 0) -> int:
     """Deterministically materialize a generated change log as NDJSON
     envelope files, one ``batch-%05d.ndjson`` per source batch dir.
 
@@ -539,6 +540,14 @@ def write_debezium_log(log_dir: str, out_dir: str) -> int:
     image — Debezium's default REPLICA IDENTITY); deletes carry a
     key-only ``before``, like the raw feed's null-payload tombstones.
     Returns the number of envelope lines written.
+
+    ``txn_events=k`` (k > 0) adds Debezium transaction metadata: every
+    k consecutive events (by GLOBAL position across the whole log) form
+    one transaction — so a batch-file boundary not aligned to k splits
+    a transaction across adjacent files, exactly the tear
+    ``ingest_debezium_txn`` must defer. The tail transaction's
+    ``event_count`` is its true (smaller) size; ids and counts are pure
+    functions of position, keeping the byte-determinism property.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -551,6 +560,13 @@ def write_debezium_log(log_dir: str, out_dir: str) -> int:
         if b.startswith("batch_id="))
     n = 0
     op_map = {"I": "c", "U": "u", "D": "d"}
+    total_rows = 0
+    if txn_events > 0:
+        import pyarrow.parquet as _pq
+        total_rows = sum(
+            _pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            for _, bdir in batches
+            for f in sorted(os.listdir(bdir)) if f.endswith(".parquet"))
     for batch_id, bdir in batches:
         tbl = pa.concat_tables(
             [pq.read_table(os.path.join(bdir, f))
@@ -586,6 +602,16 @@ def write_debezium_log(log_dir: str, out_dir: str) -> int:
                            "db": SOURCE_NAME, "table": "transcripts"},
                 "ts_ms": None if ts_us[i] is None else ts_us[i] // 1000,
             }
+            if txn_events > 0:
+                g = n + len(lines)  # global event position
+                txn_id = g // txn_events
+                count = min(txn_events,
+                            total_rows - txn_id * txn_events)
+                env["transaction"] = {
+                    "id": f"txn-{txn_id:08d}",
+                    "total_order": g - txn_id * txn_events + 1,
+                    "event_count": count,
+                }
             lines.append(json.dumps(env, sort_keys=True,
                                     separators=(",", ":")))
         path = os.path.join(out_dir, f"batch-{batch_id:05d}.ndjson")

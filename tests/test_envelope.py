@@ -386,6 +386,36 @@ def test_txn_aware_ingest_atomic_visibility(spark, tmp_path):
     assert live2 == live
 
 
+def test_txn_metadata_generated_log_replays_exactly(spark, dbz_env, tmp_path):
+    """The converter's transaction mode (every k global events = one
+    transaction, straddling file boundaries when k doesn't divide the
+    batch size) through the transactional applier converges to the plain
+    replay, with an empty final pending state — deferral delayed
+    visibility but lost nothing."""
+    from biomedica_etl_spark.cdc.envelope import (
+        ingest_debezium_txn, write_debezium_log)
+
+    ndj = str(tmp_path / "ndj")
+    k = 7  # deliberately not a divisor of the batch size
+    write_debezium_log(dbz_env["log"], ndj, txn_events=k)
+    # at least one transaction id must appear in two adjacent files
+    per_file_ids = []
+    for f in sorted(os.listdir(ndj)):
+        ids = {json.loads(ln)["transaction"]["id"]
+               for ln in open(os.path.join(ndj, f)) if ln.strip()}
+        per_file_ids.append(ids)
+    assert any(a & b for a, b in zip(per_file_ids, per_file_ids[1:]))
+
+    table = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=4)
+    actual = _live_rows(spark, table)
+    assert actual == replay(dbz_env["log"])
+    last = sorted(os.listdir(os.path.join(str(tmp_path / "t"),
+                                          "_txn_pending")))[-1]
+    pend = spark.read.parquet(
+        os.path.join(str(tmp_path / "t"), "_txn_pending", last))
+    assert pend.count() == 0
+
+
 def test_txn_aware_ingest_never_completing_txn_stays_pending(
         spark, tmp_path):
     """An abandoned transaction (writer died mid-emit upstream) defers
