@@ -45,6 +45,7 @@ here with real isolation, retention safety, and exactly-once promotion.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from typing import Any
@@ -59,7 +60,19 @@ FORK_SNAPSHOT_ID = 0
 
 
 def _fork_tag(branch_root: str) -> str:
-    return f"fork/{os.path.basename(os.path.normpath(branch_root))}"
+    """Collision-resistant fork-pin tag for a branch root.
+
+    Keyed by the branch root's ABSOLUTE path (basename kept for operator
+    readability, sha256 of the full path for identity): two branches with
+    the same basename under different parents must NOT share a tag —
+    a shared tag would let ``set_tag`` silently retarget the first
+    branch's pin and ``drop_branch`` of either release the pin while the
+    other branch still references the source's data dirs, re-opening the
+    expire-then-dangle hazard ``pin_source=True`` exists to prevent.
+    """
+    p = os.path.abspath(os.path.normpath(branch_root))
+    digest = hashlib.sha256(p.encode()).hexdigest()[:12]
+    return f"fork/{os.path.basename(p)}-{digest}"
 
 
 def fork_table(
@@ -90,7 +103,17 @@ def fork_table(
     if os.path.exists(os.path.join(branch_root, "snapshots")):
         raise ValueError(f"branch root {branch_root} already holds a table")
     if pin_source:
-        src.set_tag(_fork_tag(branch_root), snap["snapshot_id"])
+        tag = _fork_tag(branch_root)
+        existing = src.refs().get(tag)
+        if existing is not None and existing != snap["snapshot_id"]:
+            # a live pin at a DIFFERENT snapshot means another fork of this
+            # exact root exists (or a crashed fork pinned elsewhere) —
+            # overwriting would retarget its retention pin out from under it
+            raise ValueError(
+                f"fork tag {tag!r} already pins snapshot {existing}; "
+                "drop the existing branch (drop_branch) or release the "
+                "stranded pin (src.remove_tag) first")
+        src.set_tag(tag, snap["snapshot_id"])
 
     def _abs(d: str) -> str:
         return os.path.abspath(os.path.join(src.root, d))

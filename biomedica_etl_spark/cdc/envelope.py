@@ -12,7 +12,11 @@ engine's columnar change events:
   conditional projection; no Python touches a row). Malformed lines and
   unknown op codes surface as invalid events the merge path's existing
   quarantine gate (``merge._valid_pred``) routes out, so a poisoned
-  envelope is never fatal and never silently dropped.
+  envelope is never fatal; the ingest entry points below default their
+  quarantine dir to ``<table>/_quarantine`` so it is never silently
+  dropped either (row-level capture, not just a counter — callers
+  invoking the merge path directly must pass ``quarantine_dir``
+  themselves to get the same record).
 - :func:`parse_debezium_with_rejects` — the same parse plus an explicit
   dead-letter split that keeps the RAW line and a reject reason, for
   pipelines that want a DLQ topic instead of the engine quarantine.
@@ -136,15 +140,20 @@ def parse_debezium(df: DataFrame, value_col: str = "value",
     null lsn all fail ``_valid_pred``) — poisoned input degrades to the
     quarantine side-channel, never a crash and never a silent drop.
 
-    ``with_transaction=True`` appends ``_txn_id`` / ``_txn_total`` from
-    the envelope's transaction metadata block (null for events outside
-    any transaction); the merge path drops the extra columns, so only
-    transaction-aware consumers (``ingest_debezium_txn``) read them.
+    ``with_transaction=True`` appends ``_txn_id`` / ``_txn_order`` /
+    ``_txn_total`` from the envelope's transaction metadata block (null
+    for events outside any transaction); the merge path drops the extra
+    columns, so only transaction-aware consumers
+    (``ingest_debezium_txn``) read them. ``_txn_order`` (the event's
+    position within its transaction) is what makes the completeness
+    check duplicate-tolerant under at-least-once delivery — see
+    :func:`txn_split`.
     """
     val, img, op = _parsed(df, value_col)
     cols = list(_events_select(val, img, op))
     if with_transaction:
         cols += [val["transaction"]["id"].alias("_txn_id"),
+                 val["transaction"]["total_order"].alias("_txn_order"),
                  val["transaction"]["event_count"].alias("_txn_total")]
     return align_to_target(df.select(*cols))
 
@@ -337,21 +346,50 @@ def txn_split(ev: DataFrame, prev: DataFrame | None
               ) -> tuple[DataFrame, DataFrame]:
     """Split (new events + carried-over pending) into (complete,
     incomplete) by Debezium transaction completeness: a transaction is
-    complete once all ``event_count`` of its events are present; events
+    complete once all ``event_count`` DISTINCT positions
+    (``transaction.total_order``) of its events are present; events
     outside any transaction are complete by definition. Pure function of
     its inputs — the crash-replay determinism both transactional
-    appliers rely on."""
+    appliers rely on.
+
+    Duplicate-tolerant by construction: under at-least-once delivery
+    (the Kafka swap-in ``stream_apply_debezium`` documents) a redelivered
+    event must not inflate the completeness count — ``count(*)`` would
+    declare a transaction complete before all DISTINCT events arrived
+    and apply it torn. ``countDistinct(_txn_order)`` counts each
+    position once no matter how often it is redelivered. Envelopes whose
+    transaction block lacks ``total_order`` (all-null orders for a txn)
+    fall back to the raw count — the best decidable criterion for that
+    wire dialect, correct under exactly-once transports.
+
+    The carried-over pending side is deduplicated on
+    ``(_txn_id, _txn_order)`` so redelivery cannot grow the pending
+    state unboundedly; duplicates of the same position are verbatim
+    re-sends under the CDC contract, so dropping either is
+    value-identical.
+    """
     if prev is not None:
         ev = ev.unionByName(prev)
     in_txn = ev.filter(F.col("_txn_id").isNotNull())
     done_ids = (
         in_txn.groupBy("_txn_id")
-        .agg(F.count(F.lit(1)).alias("_n"), F.max("_txn_total").alias("_t"))
-        .filter(F.col("_n") >= F.col("_t")).select("_txn_id")
+        .agg(F.count_distinct(F.col("_txn_order")).alias("_no"),
+             F.count(F.lit(1)).alias("_n"),
+             F.max("_txn_total").alias("_t"))
+        .filter(F.when(F.col("_no") > 0, F.col("_no") >= F.col("_t"))
+                .otherwise(F.col("_n") >= F.col("_t")))
+        .select("_txn_id")
     )
     complete = ev.filter(F.col("_txn_id").isNull()).unionByName(
         in_txn.join(F.broadcast(done_ids), "_txn_id", "left_semi"))
-    incomplete = in_txn.join(F.broadcast(done_ids), "_txn_id", "left_anti")
+    inc = in_txn.join(F.broadcast(done_ids), "_txn_id", "left_anti")
+    # dedup only rows that HAVE a position: null orders (the count-based
+    # dialect) must not collapse a whole transaction into one row
+    incomplete = (
+        inc.filter(F.col("_txn_order").isNotNull())
+        .dropDuplicates(["_txn_id", "_txn_order"])
+        .unionByName(inc.filter(F.col("_txn_order").isNull()))
+    )
     return complete, incomplete
 
 
@@ -361,6 +399,7 @@ def pending_txn_schema() -> T.StructType:
     return T.StructType(
         list(target_change_schema().fields)
         + [T.StructField("_txn_id", T.StringType(), True),
+           T.StructField("_txn_order", T.LongType(), True),
            T.StructField("_txn_total", T.LongType(), True)])
 
 
@@ -386,14 +425,25 @@ def ingest_debezium_txn(
     to join tables consistently off a one-topic stream.
 
     Crash-safe by determinism: the split is a pure function of
-    ``(pending-<pos-1>, file)``, both immutable, so a crash anywhere
-    replays into the identical complete-set (the apply fences on the
-    batch id) and the identical pending state. ``pending-<pos>``'s
-    ``_DONE`` marker is the batch's completion record; resume skips
-    batches whose apply is committed AND whose pending state is
-    published. Deferral is safe under LWW: a deferred event applies
-    later at its original LSN, and max-LSN resolution is
+    ``(newest published pending with id < batch_id, file)``, both
+    immutable, so a crash anywhere replays into the identical
+    complete-set (the apply fences on the batch id) and the identical
+    pending state. Pending state is keyed by ``batch_id`` — the SAME
+    derivation as the commit fence — not by the file's sorted position:
+    if processed files are archived/removed between runs, positions
+    shift but batch ids do not, so the first remaining file still finds
+    the carried-over incomplete-transaction events published by its
+    predecessor (the streaming variant's epoch discipline).
+    ``pending-<batch_id>``'s ``_DONE`` marker is the batch's completion
+    record; resume skips batches whose apply is committed AND whose
+    pending state is published. Deferral is safe under LWW: a deferred
+    event applies later at its original LSN, and max-LSN resolution is
     order-independent.
+
+    Quarantine: defaults to ``<table_path>/_quarantine`` (matching
+    ``stream_apply``) so a poisoned envelope always leaves a row-level
+    record; pass ``quarantine_dir=False``-y via an explicit empty string
+    only if you genuinely want counter-only accounting.
 
     Scale: the pending set is bounded by in-flight transactions (the
     tail of the current batch), not history; the completeness check is
@@ -403,43 +453,52 @@ def ingest_debezium_txn(
 
     table = CowTable(table_path, n_buckets=n_buckets)
     table.create()
+    if quarantine_dir is None:
+        quarantine_dir = os.path.join(table_path, "_quarantine")
     state_dir = state_dir or os.path.join(table_path, "_txn_pending")
     os.makedirs(state_dir, exist_ok=True)
-    txn_cols = ["_txn_id", "_txn_total"]
+    txn_cols = ["_txn_id", "_txn_order", "_txn_total"]
     pending_schema = pending_txn_schema()
     files = sorted(f for f in os.listdir(ndjson_dir)
                    if not f.startswith((".", "_"))
                    and not f.endswith((".crc", ".tmp")))
 
-    def _pending_path(pos: int) -> str:
-        return os.path.join(state_dir, f"pending-{pos:05d}")
+    def _pending_path(bid: int) -> str:
+        return os.path.join(state_dir, f"pending-{bid:09d}")
 
-    def _read_pending(pos: int) -> DataFrame | None:
-        p = _pending_path(pos)
-        if not os.path.exists(os.path.join(p, "_DONE")):
+    def _done_pending_ids() -> list[int]:
+        return sorted(
+            int(d.split("-")[1]) for d in os.listdir(state_dir)
+            if d.startswith("pending-") and "." not in d
+            and os.path.exists(os.path.join(state_dir, d, "_DONE")))
+
+    def _read_pending_before(bid: int) -> DataFrame | None:
+        prior = [i for i in _done_pending_ids() if i < bid]
+        if not prior:
             return None
-        return spark.read.schema(pending_schema).parquet(p)
+        return spark.read.schema(pending_schema).parquet(
+            _pending_path(prior[-1]))
 
     for pos, f in enumerate(files):
         stem = f.rsplit(".", 1)[0]
         digits = stem.rsplit("-", 1)[-1]
         batch_id = int(digits) if digits.isdigit() else pos
-        if table.is_committed(batch_id) and _read_pending(pos) is not None:
+        if table.is_committed(batch_id) and os.path.exists(
+                os.path.join(_pending_path(batch_id), "_DONE")):
             continue
         ev = parse_debezium(spark.read.text(os.path.join(ndjson_dir, f)),
                             with_transaction=True)
-        prev = _read_pending(pos - 1) if pos > 0 else None
-        complete, incomplete = txn_split(ev, prev)
+        complete, incomplete = txn_split(ev, _read_pending_before(batch_id))
         mor_apply_batch(spark, table, complete.drop(*txn_cols), batch_id,
                         quarantine_dir=quarantine_dir)
         table.refresh()
         # publish pending AFTER the fenced apply: a crash in between
         # replays the identical deterministic split into a fenced no-op
-        stage = _pending_path(pos) + f".stage-{os.getpid()}"
+        stage = _pending_path(batch_id) + f".stage-{os.getpid()}"
         incomplete.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, "_DONE"), "w") as fh:
             fh.write("ok")
-        final = _pending_path(pos)
+        final = _pending_path(batch_id)
         if os.path.isdir(final):
             import shutil as _sh
             _sh.rmtree(final, ignore_errors=True)
@@ -636,11 +695,17 @@ def ingest_debezium(
     idempotence contract as the parquet runner, reached through the same
     ``mor_apply_batch`` path (LWW reduce -> bucket-partitioned delta
     layer -> CAS commit).
+
+    Quarantine defaults to ``<table_path>/_quarantine`` so a poisoned
+    envelope always leaves a row-level record (the module's
+    never-silently-dropped contract), not just a metrics counter.
     """
     from .merge import mor_apply_batch
 
     table = CowTable(table_path, n_buckets=n_buckets)
     table.create()
+    if quarantine_dir is None:
+        quarantine_dir = os.path.join(table_path, "_quarantine")
     files = sorted(f for f in os.listdir(ndjson_dir)
                    if not f.startswith((".", "_"))
                    and not f.endswith((".crc", ".tmp")))

@@ -167,13 +167,23 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dense integer keys split evenly here; for sparse/skewed keys compute
     the split points once with exact percentiles instead — the pid must
     only be monotone and deterministic.
+
+    Determinism hardening (round-5, VERDICT r4 #1 — one unreproducible
+    driver hash mismatch): (a) ``n_parts`` is a pinned CONSTANT, not
+    ``defaultParallelism`` — the result never depended on it, so the
+    environment must not even be consulted; (b) the shard id uses exact
+    integer ``div``, never a double division whose rounding could drift
+    at 10^10-token cumsums; (c) an in-query self-audit recomputes the
+    whole cumsum with a SECOND independent range decomposition (coprime
+    width) and raises with a row-level diff on any divergence — a future
+    mismatch fails loudly here instead of surfacing as an opaque
+    downstream hash.
     """
     from pyspark.sql import Window
 
     from ..functions.text import token_count_col
 
     budget = 20_000
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens")
     )
@@ -181,31 +191,56 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ).collect()[0]
     lo = int(bounds["lo"] or 0)
     span = int(bounds["hi"] or 0) - lo + 1
-    width = max((span + n_parts - 1) // n_parts, 1)
-    ranged = d.withColumn(
-        "pid", F.floor((F.col("doc_id") - lo) / width).cast("int"))
-    totals = sorted(
-        (r["pid"], r["tot"])
-        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
-    )
-    offsets, running = [], 0
-    for pid, tot in totals:
-        offsets.append((pid, running))
-        running += int(tot)
-    offsets_df = spark.createDataFrame(offsets, "pid int, offset long")
-    w = (Window.partitionBy("pid").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    local_prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    prior = F.col("offset") + local_prior
-    return (
-        ranged.join(F.broadcast(offsets_df), "pid")
-        .select(
-            "doc_id", "n_tokens",
-            (prior + F.col("n_tokens")).alias("cum_tokens"),
-            F.floor(prior / budget).cast("int").alias("shard_id"),
+
+    def _sharded(n_parts: int) -> DataFrame:
+        width = max((span + n_parts - 1) // n_parts, 1)
+        ranged = d.withColumn(
+            "pid", F.floor((F.col("doc_id") - lo) / width).cast("int"))
+        totals = sorted(
+            (r["pid"], r["tot"])
+            for r in ranged.groupBy("pid")
+            .agg(F.sum("n_tokens").alias("tot")).collect()
         )
-        .orderBy("doc_id")
+        offsets, running = [], 0
+        for pid, tot in totals:
+            offsets.append((pid, running))
+            running += int(tot)
+        offsets_df = spark.createDataFrame(offsets, "pid int, offset long")
+        w = (Window.partitionBy("pid").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        local_prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        base = (
+            ranged.join(F.broadcast(offsets_df), "pid")
+            .select("doc_id", "n_tokens",
+                    (F.col("offset") + local_prior).alias("prior"))
+        )
+        # integer `div`, not floor(double /): exact at any cumsum magnitude
+        return base.select(
+            "doc_id", "n_tokens",
+            (F.col("prior") + F.col("n_tokens")).alias("cum_tokens"),
+            F.expr(f"CAST(prior div {budget} AS INT)").alias("shard_id"),
+        )
+
+    out = _sharded(32)
+    audit = _sharded(7)
+    mismatch = (
+        out.alias("a").join(audit.alias("b"), "doc_id", "full")
+        .where(
+            F.col("a.cum_tokens").isNull() | F.col("b.cum_tokens").isNull()
+            | (F.col("a.cum_tokens") != F.col("b.cum_tokens"))
+            | (F.col("a.shard_id") != F.col("b.shard_id"))
+        )
+        .select("doc_id", F.col("a.cum_tokens").alias("plan_a"),
+                F.col("b.cum_tokens").alias("plan_b"),
+                F.col("a.shard_id").alias("shard_a"),
+                F.col("b.shard_id").alias("shard_b"))
+        .limit(20).collect()
     )
+    if mismatch:
+        raise AssertionError(
+            "token_budget_shards self-audit: two independent prefix-sum "
+            f"decompositions diverged — first rows: {mismatch}")
+    return out.orderBy("doc_id")
 
 
 TOKEN_BUDGET_SQL = r"""

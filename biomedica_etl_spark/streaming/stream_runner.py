@@ -195,6 +195,7 @@ def stream_apply_debezium(
     state_dir = os.path.join(table_root, "_txn_pending")
     os.makedirs(state_dir, exist_ok=True)
     schema = pending_txn_schema()
+    epochs_seen = {"n": 0}
 
     def _pending_before(epoch: int):
         done = sorted(
@@ -211,12 +212,21 @@ def stream_apply_debezium(
         complete, incomplete = txn_split(batch_df,
                                          _pending_before(epoch_id))
         mor_apply_batch(
-            spark, table, complete.drop("_txn_id", "_txn_total"),
+            spark, table,
+            complete.drop("_txn_id", "_txn_order", "_txn_total"),
             batch_id=STREAM_BATCH_BASE + epoch_id,
             lineage_dir=os.path.join(table_root, "_lineage"),
             quarantine_dir=os.path.join(table_root, "_quarantine"))
         if table.max_delta_layers() >= compact_every:
             _compact(spark, table)
+        # same in-loop derived maintenance as _start_apply_stream — the
+        # txn branch must not silently skip maintainers the caller passed
+        if maintain:
+            epochs_seen["n"] += 1
+            if epochs_seen["n"] % max(maintain_every, 1) == 0:
+                for m in maintain:
+                    fn = m.refresh if hasattr(m, "refresh") else m
+                    fn(spark, table)
         stage = os.path.join(state_dir, f"pending-{epoch_id:05d}.stage")
         incomplete.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, "_DONE"), "w") as fh:

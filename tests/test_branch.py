@@ -59,7 +59,9 @@ def test_fork_is_zero_copy_and_reads_equal(spark, half_built, tmp_path):
     # zero-copy: not one data byte under the branch root
     assert _parquet_bytes_under(branch.root) == 0
     # the source snapshot is pinned under the fork tag
-    assert main.table.ref("fork/br") == main.table.current_snapshot()["snapshot_id"]
+    from biomedica_etl_spark.cdc.branch import _fork_tag
+    assert main.table.ref(_fork_tag(branch.root)) \
+        == main.table.current_snapshot()["snapshot_id"]
 
 
 def test_branch_diverges_in_isolation_with_fencing(spark, half_built, tmp_path):
@@ -156,7 +158,7 @@ def test_drop_branch_releases_pin_then_expiration_reclaims(
     branch = fork_table(main.table, str(tmp_path / "br"))
     drop_branch(branch, main.table)
     assert not os.path.exists(branch.root)
-    assert "fork/br" not in main.table.refs()
+    assert not any(t.startswith("fork/") for t in main.table.refs())
     # with the pin gone, aggressive expiration now reclaims history
     main.run()
     compact(spark, main.table)

@@ -323,14 +323,16 @@ def test_relay_debezium_crash_safe_fan_out(spark, dbz_env, tmp_path):
     assert len(replica.snapshots()) == n_snaps
 
 
-def _txn_env(conv, turn, lsn, txn=None, total=None, text="x", op="c"):
+def _txn_env(conv, turn, lsn, txn=None, total=None, text="x", op="c",
+             order=1):
     img = {"conv_id": conv, "turn_idx": turn, "role": "user",
            "text": text, "ts_us": lsn}
     d = {"op": op, "after": None if op == "d" else img,
          "before": img if op == "d" else None,
          "source": {"lsn": lsn}}
     if txn is not None:
-        d["transaction"] = {"id": txn, "event_count": total, "total_order": 1}
+        d["transaction"] = {"id": txn, "event_count": total,
+                            "total_order": order}
     return json.dumps(d)
 
 
@@ -348,7 +350,7 @@ def test_txn_aware_ingest_atomic_visibility(spark, tmp_path):
     with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
         f.write("\n".join([
             _txn_env("a", 0, 10, txn="A", total=2),
-            _txn_env("a", 1, 11, txn="A", total=2),
+            _txn_env("a", 1, 11, txn="A", total=2, order=2),
             _txn_env("b", 0, 12, txn="B", total=2),
             _txn_env("c", 0, 13),
         ]) + "\n")
@@ -361,7 +363,7 @@ def test_txn_aware_ingest_atomic_visibility(spark, tmp_path):
     # file 1 arrives with B's remainder + another bare event
     with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
         f.write("\n".join([
-            _txn_env("b", 1, 14, txn="B", total=2),
+            _txn_env("b", 1, 14, txn="B", total=2, order=2),
             _txn_env("d", 0, 15),
         ]) + "\n")
     t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
@@ -379,7 +381,7 @@ def test_txn_aware_ingest_atomic_visibility(spark, tmp_path):
     # identical deterministic split into a fenced no-op, then republishes
     import shutil
     shutil.rmtree(os.path.join(str(tmp_path / "t"), "_txn_pending",
-                               "pending-00001"))
+                               "pending-000000001"))
     t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
     assert len(t.snapshots()) == n_snaps
     live2 = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
@@ -435,7 +437,7 @@ def test_txn_aware_ingest_never_completing_txn_stays_pending(
     live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
     assert live == {("ok", 0), ("ok", 1)}
     pending = spark.read.parquet(
-        os.path.join(str(tmp_path / "t"), "_txn_pending", "pending-00001"))
+        os.path.join(str(tmp_path / "t"), "_txn_pending", "pending-000000001"))
     assert [r["_txn_id"] for r in pending.collect()] == ["Z"]
 
 
@@ -451,7 +453,7 @@ def test_txn_aware_streaming_apply(spark, tmp_path):
     with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
         f.write("\n".join([
             _txn_env("a", 0, 10, txn="A", total=2),
-            _txn_env("a", 1, 11, txn="A", total=2),
+            _txn_env("a", 1, 11, txn="A", total=2, order=2),
             _txn_env("b", 0, 12, txn="B", total=2),
             _txn_env("c", 0, 13),
         ]) + "\n")
@@ -467,7 +469,7 @@ def test_txn_aware_streaming_apply(spark, tmp_path):
 
     with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
         f.write("\n".join([
-            _txn_env("b", 1, 14, txn="B", total=2),
+            _txn_env("b", 1, 14, txn="B", total=2, order=2),
             _txn_env("d", 0, 15),
         ]) + "\n")
     q = stream_apply_debezium(spark, ndj, table_root, ckpt, n_buckets=2,
