@@ -191,3 +191,47 @@ def test_branch_changes_are_net_and_lsn_faithful(spark, half_built, tmp_path):
     assert set(diff_ev) <= set(feed_ev)
     for k, (lsn, op) in diff_ev.items():
         assert feed_ev[k][0] == lsn  # same winning LSN on both paths
+
+
+def test_fork_tags_distinct_for_same_basename_roots(spark, half_built,
+                                                    tmp_path):
+    """Two branches whose roots share a basename under different parents
+    must hold DISTINCT fork pins: dropping one must not release the
+    other's retention pin (the collision would let source-side snapshot
+    expiration delete data dirs the surviving branch still references)."""
+    from biomedica_etl_spark.cdc.branch import _fork_tag
+
+    log, main = half_built
+    r1 = str(tmp_path / "p1" / "br")
+    r2 = str(tmp_path / "p2" / "br")
+    b1 = fork_table(main.table, r1)
+    assert _fork_tag(r1) != _fork_tag(r2)
+    main.run()  # advance the source so the second fork pins a NEW snapshot
+    b2 = fork_table(main.table, r2)
+    pin1 = main.table.ref(_fork_tag(r1))
+    pin2 = main.table.ref(_fork_tag(r2))
+    assert pin1 != pin2  # first pin NOT retargeted by the second fork
+    drop_branch(b2, main.table)
+    # b1's pin survives b2's drop
+    assert main.table.ref(_fork_tag(r1)) == pin1
+    assert _fork_tag(r2) not in main.table.refs()
+    drop_branch(b1, main.table)
+
+
+def test_fork_refuses_to_retarget_live_pin(spark, half_built, tmp_path):
+    """Re-forking the SAME root at a different snapshot while the first
+    fork's pin is live must raise, not silently retarget the pin."""
+    import pytest
+
+    log, main = half_built
+    root = str(tmp_path / "br")
+    b1 = fork_table(main.table, root)
+    snap1 = main.table.current_snapshot()["snapshot_id"]
+    main.run()
+    import shutil
+    shutil.rmtree(root)  # simulate a lost branch dir with a stranded pin
+    with pytest.raises(ValueError, match="already pins"):
+        fork_table(main.table, root)
+    # idempotent retry at the SAME snapshot is allowed
+    b2 = fork_table(main.table, root, snapshot_id=snap1)
+    drop_branch(b2, main.table)

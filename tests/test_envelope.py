@@ -513,3 +513,99 @@ def test_stream_apply_debezium_matches_oracle_and_restart_is_noop(
     assert q2.awaitTermination(120)
     table.refresh()
     assert len(table.snapshots()) == n_snaps
+
+
+def test_txn_split_duplicate_redelivery_does_not_complete_torn_txn(spark):
+    """At-least-once redelivery: a duplicate of an already-seen event
+    must NOT count toward transaction completeness — with count(*) a
+    2-event transaction whose first event arrived twice would apply
+    torn. Distinct total_order positions decide."""
+    from biomedica_etl_spark.cdc.envelope import (parse_debezium, txn_split)
+
+    lines = [
+        _txn_env("t", 0, 10, txn="T", total=2, order=1),
+        _txn_env("t", 0, 10, txn="T", total=2, order=1),  # redelivered
+    ]
+    ev = parse_debezium(
+        spark.createDataFrame([(ln,) for ln in lines], "value string"),
+        with_transaction=True)
+    complete, incomplete = txn_split(ev, None)
+    assert complete.count() == 0          # NOT declared complete
+    assert incomplete.count() == 1        # deduped pending, bounded
+    # the remainder arriving (distinct position) completes it
+    more = parse_debezium(
+        spark.createDataFrame(
+            [(_txn_env("t", 1, 11, txn="T", total=2, order=2),)],
+            "value string"), with_transaction=True)
+    complete2, incomplete2 = txn_split(more, incomplete)
+    assert complete2.count() == 2 and incomplete2.count() == 0
+
+
+def test_txn_split_null_order_dialect_falls_back_to_count(spark):
+    """Envelopes without total_order (count-based dialect): completeness
+    falls back to the raw count and null orders are NOT collapsed."""
+    from biomedica_etl_spark.cdc.envelope import (parse_debezium, txn_split)
+
+    def env_no_order(conv, turn, lsn, txn, total):
+        d = json.loads(_txn_env(conv, turn, lsn, txn=txn, total=total))
+        d["transaction"].pop("total_order")
+        return json.dumps(d)
+
+    lines = [env_no_order("n", 0, 20, "N", 2)]
+    ev = parse_debezium(
+        spark.createDataFrame([(ln,) for ln in lines], "value string"),
+        with_transaction=True)
+    c1, i1 = txn_split(ev, None)
+    assert c1.count() == 0 and i1.count() == 1
+    more = parse_debezium(
+        spark.createDataFrame([(env_no_order("n", 1, 21, "N", 2),)],
+                              "value string"), with_transaction=True)
+    c2, i2 = txn_split(more, i1)
+    assert c2.count() == 2 and i2.count() == 0
+
+
+def test_txn_ingest_survives_processed_file_archival(spark, tmp_path):
+    """Operational archival: files already applied are REMOVED from the
+    ndjson dir between runs. Pending state is keyed by batch_id (the
+    fence derivation), so the first remaining file still finds its
+    predecessor's carried-over incomplete transaction — events torn
+    across the archival boundary are deferred, not lost."""
+    from biomedica_etl_spark.cdc.envelope import ingest_debezium_txn
+
+    ndj = str(tmp_path / "ndj")
+    os.makedirs(ndj)
+    with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
+        f.write(_txn_env("x", 0, 30, txn="X", total=2, order=1) + "\n"
+                + _txn_env("e", 0, 31) + "\n")
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert live == {("e", 0)}  # X torn, deferred
+
+    os.remove(os.path.join(ndj, "batch-00000.ndjson"))  # archived upstream
+    with open(os.path.join(ndj, "batch-00001.ndjson"), "w") as f:
+        f.write(_txn_env("x", 1, 32, txn="X", total=2, order=2) + "\n")
+    t = ingest_debezium_txn(spark, ndj, str(tmp_path / "t"), n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    # X's carried-over half was NOT lost to the archival: both halves in
+    assert live == {("e", 0), ("x", 0), ("x", 1)}
+
+
+def test_ingest_quarantines_poison_rows_by_default(spark, tmp_path):
+    """The module's never-silently-dropped contract: with NO quarantine
+    dir passed, a poisoned envelope still leaves a row-level record
+    under the table's default _quarantine dir."""
+    from biomedica_etl_spark.cdc.envelope import ingest_debezium
+
+    ndj = str(tmp_path / "ndj")
+    os.makedirs(ndj)
+    with open(os.path.join(ndj, "batch-00000.ndjson"), "w") as f:
+        f.write(_txn_env("g", 0, 40) + "\n"
+                + "{not json at all\n"
+                + json.dumps({"op": "zz", "after": None,
+                              "source": {"lsn": 41}}) + "\n")
+    root = str(tmp_path / "t")
+    t = ingest_debezium(spark, ndj, root, n_buckets=2)
+    live = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert live == {("g", 0)}
+    q = spark.read.parquet(os.path.join(root, "_quarantine"))
+    assert q.count() == 2  # both poison rows captured, not just counted
