@@ -312,6 +312,36 @@ def run_cdc_section(spark, workdir: str) -> dict:
             merge_branch(spark, br, runner.table, batch_id=9_900_001)
             branch_merge_sec = time.time() - t12
             drop_branch(br, runner.table)
+            # transaction-split overhead: the SAME change events rendered
+            # as Debezium envelopes WITH transaction metadata (JVM-side
+            # renderer), ingested plain (parse ignores the txn block) vs
+            # txn-aware (split + pending publish per batch). The delta is
+            # exactly the atomic-transaction-visibility tax. Fixture
+            # rendering is untimed; both ingests run over identical bytes.
+            from biomedica_etl_spark.cdc.envelope import (
+                envelopes_with_txn, ingest_debezium_txn)
+            from biomedica_etl_spark.cdc.runner import read_log_events
+
+            ndj_txn = os.path.join(workdir, "dbz-txn-ndjson")
+            ev_all = read_log_events(
+                spark, _bench_log_dir(CDC_EVENTS, CDC_BATCHES))
+            (envelopes_with_txn(ev_all, txn_events=25)
+             .repartitionByRange(CDC_BATCHES, "lsn").select("value")
+             .write.mode("overwrite").text(ndj_txn))
+            t13 = time.time()
+            plain_tbl = ingest_debezium(
+                spark, ndj_txn, os.path.join(workdir, "dbz-plain-tbl"),
+                n_buckets=runner.table.n_buckets)
+            dbz_txn_plain_sec = time.time() - t13
+            t14 = time.time()
+            txn_tbl = ingest_debezium_txn(
+                spark, ndj_txn, os.path.join(workdir, "dbz-txn-tbl"),
+                n_buckets=runner.table.n_buckets)
+            dbz_txn_aware_sec = time.time() - t14
+            # after the full log every transaction is complete: both
+            # appliers must converge to the same live-row count
+            assert plain_tbl.read(spark).count() == \
+                txn_tbl.read(spark).count()
             print(f"cdc dml: delete={dml_delete_sec:.1f}s "
                   f"update={dml_update_sec:.1f}s "
                   f"merge={dml_merge_sec:.1f}s "
@@ -327,7 +357,10 @@ def run_cdc_section(spark, workdir: str) -> dict:
                   f"hist_refresh={history_refresh_sec:.1f}s "
                   f"dbz_ingest={dbz_ingest_sec:.1f}s ({dbz_lines} lines) "
                   f"fork={fork_sec*1000:.0f}ms "
-                  f"branch_merge={branch_merge_sec:.1f}s",
+                  f"branch_merge={branch_merge_sec:.1f}s "
+                  f"dbz_txn_plain={dbz_txn_plain_sec:.1f}s "
+                  f"dbz_txn_aware={dbz_txn_aware_sec:.1f}s "
+                  f"(txn tax {dbz_txn_aware_sec/dbz_txn_plain_sec:.2f}x)",
                   file=sys.stderr)
         shutil.rmtree(os.path.join(workdir, f"a{i}"), ignore_errors=True)
         print(f"cdc attempt {i}: apply={cdc_sec:.1f}s compact={compact_sec:.1f}s "
@@ -414,6 +447,9 @@ def run_cdc_section(spark, workdir: str) -> dict:
         "dbz_lines": dbz_lines,
         "dbz_ingest_sec": round(dbz_ingest_sec, 3),
         "dbz_lines_per_sec": round(dbz_lines / dbz_ingest_sec, 1),
+        "dbz_txn_plain_sec": round(dbz_txn_plain_sec, 3),
+        "dbz_txn_aware_sec": round(dbz_txn_aware_sec, 3),
+        "dbz_txn_overhead": round(dbz_txn_aware_sec / dbz_txn_plain_sec, 3),
         "fork_sec": round(fork_sec, 4),
         "branch_merge_sec": round(branch_merge_sec, 3),
     }
@@ -479,6 +515,7 @@ def main() -> None:
     queries["cdc_history_bootstrap"] = cdc["history_bootstrap_sec"]
     queries["cdc_history_refresh"] = cdc["history_refresh_sec"]
     queries["cdc_debezium_ingest"] = cdc["dbz_ingest_sec"]
+    queries["cdc_debezium_txn"] = cdc["dbz_txn_aware_sec"]
     queries["cdc_branch_merge"] = cdc["branch_merge_sec"]
     total = round(sum(queries.values()), 3)
     print(
@@ -508,6 +545,9 @@ def main() -> None:
                 ),
                 "dbz_lines": cdc["dbz_lines"],
                 "dbz_lines_per_sec": cdc["dbz_lines_per_sec"],
+                "dbz_txn_plain_sec": cdc["dbz_txn_plain_sec"],
+                "dbz_txn_aware_sec": cdc["dbz_txn_aware_sec"],
+                "dbz_txn_overhead": cdc["dbz_txn_overhead"],
                 "fork_sec": cdc["fork_sec"],
                 "branch_merge_sec": cdc["branch_merge_sec"],
                 "cdc_attempts": cdc["attempts"],

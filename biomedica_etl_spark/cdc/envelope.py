@@ -559,6 +559,61 @@ def relay_debezium(
     return results
 
 
+def envelopes_with_txn(events: DataFrame, txn_events: int = 25) -> DataFrame:
+    """Render engine change events (``lsn, op, conv_id, turn_idx, role,
+    text[, tool], ts``) as Debezium envelopes WITH transaction metadata,
+    entirely JVM-side — the bench/cluster-scale twin of
+    ``write_debezium_log(txn_events=...)``'s driver-side byte-exact
+    renderer (that one exists for DuckDB oracles; this one for volume).
+
+    Transaction assignment is a pure function of the LSN: transaction
+    ``t-<lsn div k>`` with ``total_order = (lsn mod k) + 1`` — distinct
+    positions within a transaction by construction — and ``event_count``
+    = the transaction's ACTUAL distinct-LSN count (Debezium semantics:
+    the connector reads the binlog after commit, so it knows the true
+    count; LSN gaps from filtered tables make it less than k). Every
+    transaction is completable once all its events are delivered, and
+    any file split that cuts an lsn-contiguous block tears a transaction
+    for the txn-aware appliers to defer.
+
+    Plan: one ``groupBy(_tid)`` over O(events) rows (k-fold reduction),
+    broadcast the O(events/k) counts back, one ``to_json`` projection —
+    no Python per row. Returns ``(value, lsn)`` like
+    :func:`envelopes_from_images`.
+    """
+    k = int(txn_events)
+    cols = set(events.columns)
+    tool = F.col("tool") if "tool" in cols else F.lit(None).cast("string")
+    img = F.struct(
+        F.col("conv_id"), F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("role"), F.col("text"), tool.alias("tool"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    tid = F.expr(f"lsn div {k}")
+    counts = (events.groupBy(tid.alias("_tid"))
+              .agg(F.count_distinct("lsn").alias("_cnt")))
+    j = events.withColumn("_tid", tid).join(F.broadcast(counts), "_tid")
+    op = (F.when(F.col("op") == "I", F.lit("c"))
+          .when(F.col("op") == "U", F.lit("u"))
+          .when(F.col("op") == "D", F.lit("d"))
+          .otherwise(F.lower(F.col("op"))))
+    ts_ms = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+    envelope = F.struct(
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+        F.struct(F.col("lsn"), ts_ms.alias("ts_ms"),
+                 F.lit(SOURCE_NAME).alias("db"),
+                 F.lit("transcripts").alias("table")).alias("source"),
+        op.alias("op"), ts_ms.alias("ts_ms"),
+        F.struct(
+            F.concat(F.lit("t-"), F.col("_tid")).alias("id"),
+            (F.col("lsn") % k + 1).alias("total_order"),
+            F.col("_cnt").alias("event_count"),
+        ).alias("transaction"),
+    )
+    return j.select(F.to_json(envelope).alias("value"), F.col("lsn"))
+
+
 def to_debezium_snapshot(
     spark: SparkSession, table: CowTable, snapshot_id: int | None = None,
 ) -> DataFrame:

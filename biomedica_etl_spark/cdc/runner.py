@@ -128,6 +128,32 @@ def read_batch(
     return align_to_target(df)
 
 
+def read_log_events(
+    spark: SparkSession, log_dir: str, registry: SchemaRegistry | None = None,
+) -> DataFrame:
+    """Every change event of a generated log as ONE schema-aligned frame
+    (the epochs' int-width/added-column drift resolved by the registry +
+    ``align_to_target``, which plain ``mergeSchema`` parquet reads refuse
+    to merge). Batch fencing is deliberately absent — this is the bulk
+    export/fixture read, not the exactly-once apply path."""
+    from functools import reduce as _reduce
+
+    registry = registry or SchemaRegistry()
+    parts = []
+    for sdir in sorted(os.listdir(log_dir)):
+        if not sdir.startswith("schema_id="):
+            continue
+        sid = int(sdir.split("=", 1)[1])
+        for bdir in sorted(os.listdir(os.path.join(log_dir, sdir))):
+            if bdir.startswith("batch_id="):
+                parts.append(read_batch(spark, log_dir,
+                                        int(bdir.split("=", 1)[1]),
+                                        sid, registry))
+    if not parts:
+        raise ValueError(f"no schema_id=*/batch_id=* dirs under {log_dir}")
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
 @dataclass
 class RunResult:
     batches_applied: list[int] = field(default_factory=list)

@@ -609,3 +609,42 @@ def test_ingest_quarantines_poison_rows_by_default(spark, tmp_path):
     assert live == {("g", 0)}
     q = spark.read.parquet(os.path.join(root, "_quarantine"))
     assert q.count() == 2  # both poison rows captured, not just counted
+
+
+def test_envelopes_with_txn_renderer_tears_and_converges(spark, dbz_env):
+    """The JVM-side transaction-metadata renderer (bench/cluster-scale
+    twin of write_debezium_log(txn_events=)): lsn-block transactions with
+    distinct positions and true event counts. File splits must tear
+    transactions (deferral actually exercised: some batch leaves a
+    non-empty pending), and after the full directory both the plain and
+    the txn-aware appliers converge to the replay oracle."""
+    import tempfile
+
+    from biomedica_etl_spark.cdc.envelope import (envelopes_with_txn,
+                                                  ingest_debezium,
+                                                  ingest_debezium_txn)
+    from biomedica_etl_spark.cdc.runner import read_log_events
+
+    log = dbz_env["log"]
+    d = tempfile.mkdtemp()
+    ndj = os.path.join(d, "ndj")
+    ev = read_log_events(spark, log)
+    envelopes_with_txn(ev, txn_events=25).repartitionByRange(
+        4, "lsn").select("value").write.text(ndj)
+
+    plain = ingest_debezium(spark, ndj, os.path.join(d, "a"), n_buckets=4)
+    txn = ingest_debezium_txn(spark, ndj, os.path.join(d, "b"), n_buckets=4)
+    want = replay(log)
+    assert _live_rows(spark, plain) == want
+    assert _live_rows(spark, txn) == want
+    # deferral really happened: at least one non-final pending dir holds
+    # carried-over events (a transaction torn at a file boundary)
+    state = os.path.join(d, "b", "_txn_pending")
+    pend_dirs = sorted(p for p in os.listdir(state)
+                       if p.startswith("pending-") and "." not in p)
+    nonfinal = [spark.read.parquet(os.path.join(state, p)).count()
+                for p in pend_dirs[:-1]]
+    assert any(n > 0 for n in nonfinal)
+    # and the FINAL pending is empty — nothing lost
+    assert spark.read.parquet(
+        os.path.join(state, pend_dirs[-1])).count() == 0
