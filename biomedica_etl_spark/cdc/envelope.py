@@ -508,7 +508,8 @@ def ingest_debezium_txn(
 
 def relay_debezium(
     spark: SparkSession, cursor, table: CowTable, out_dir: str,
-    max_windows: int | None = None,
+    max_windows: int | None = None, min_window_bytes: int = 0,
+    flush: bool = True,
 ) -> list[dict[str, Any]]:
     """Crash-safe CDC relay: drain unconsumed feed windows as Debezium
     envelope NDJSON files — the engine acting as a Debezium SERVER, the
@@ -526,6 +527,22 @@ def relay_debezium(
     record of consumed tokens. Unservable windows raise the feed's
     resync contract (the consumer re-bootstraps from
     ``to_debezium_snapshot`` and ``cursor.reset``).
+
+    Small-window coalescing (``min_window_bytes > 0``): a low-traffic
+    table tailed frequently would otherwise emit one tiny file per relay
+    cycle. A window whose rendered bytes fall below the floor is
+    DEFERRED — nothing is emitted and the cursor does NOT commit, so the
+    next relay cycle's poll serves the strictly larger superset window
+    ``(same cursor, new head]``; windows fold forward until the floor is
+    reached. This preserves every contract for free: the token record
+    stays gapless (each emitted file still covers exactly
+    ``(previous emitted token, its token]``), exactly-once still rides
+    the same poll-reserve/commit discipline, and replica state is
+    byte-identical because the coalesced window's net image feed equals
+    the concatenation of the small windows' net changes under LWW.
+    ``flush=True`` (the default) emits a below-floor final window anyway
+    — pass ``flush=False`` in a tailing daemon and flush on its shutdown
+    / timer so deferral cannot starve a quiet table forever.
     """
     import glob as _glob
     import shutil as _shutil
@@ -545,9 +562,16 @@ def relay_debezium(
         # window, never the table
         env.coalesce(1).write.mode("overwrite").text(stage)
         parts = _glob.glob(os.path.join(stage, "part-*"))
+        staged = parts[0] if parts else None
+        size = os.path.getsize(staged) if staged else 0
+        if min_window_bytes > 0 and size < min_window_bytes and not flush:
+            # defer: no emission, no commit — the window re-serves grown
+            _shutil.rmtree(stage, ignore_errors=True)
+            results.append({"token": None, "deferred_bytes": size})
+            return results
         final = os.path.join(out_dir, f"window-{token:08d}.ndjson")
-        if parts:
-            os.replace(parts[0], final)
+        if staged:
+            os.replace(staged, final)
         else:  # empty window: no part file written, emit the empty record
             with open(os.path.join(stage, "empty"), "w") as f:
                 f.flush()

@@ -648,3 +648,55 @@ def test_envelopes_with_txn_renderer_tears_and_converges(spark, dbz_env):
     # and the FINAL pending is empty — nothing lost
     assert spark.read.parquet(
         os.path.join(state, pend_dirs[-1])).count() == 0
+
+
+def test_relay_coalesces_small_windows_bounded_files_identical_replica(
+        spark, dbz_env, tmp_path):
+    """Small-window coalescing (min_window_bytes): a low-traffic table
+    tailed after every tiny commit defers below-floor windows (no file,
+    no cursor commit) until they fold into one above-floor window —
+    bounding the file count — and the replica built from the coalesced
+    relay is byte-identical to one built from the unbatched relay."""
+    from biomedica_etl_spark.cdc.envelope import (ingest_debezium,
+                                                  relay_debezium,
+                                                  to_debezium_snapshot)
+    from biomedica_etl_spark.cdc.feed import ImageFeedCursor
+
+    def build_relay(tag, min_bytes):
+        runner = CdcRunner(spark, dbz_env["log"], str(tmp_path / f"s{tag}"),
+                           n_buckets=4, mode="mor", compact_every=1000)
+        runner.run(max_batches=1)
+        out = str(tmp_path / f"relay{tag}")
+        os.makedirs(out)
+        boot = to_debezium_snapshot(spark, runner.table)
+        lines = [r.value for r in boot.collect()]
+        with open(os.path.join(out, "a-bootstrap-00000000.ndjson"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        cur = ImageFeedCursor(str(tmp_path / f"cur{tag}"))
+        cur.initialize(runner.table)
+        emitted = []
+        # four tiny source commits, a relay cycle after EACH (the
+        # tail-frequently shape that produces one file per cycle)
+        for i in range(4):
+            runner.run(max_batches=1)
+            emitted += relay_debezium(spark, cur, runner.table, out,
+                                      min_window_bytes=min_bytes,
+                                      flush=False)
+        # daemon shutdown: flush whatever is still deferred
+        emitted += relay_debezium(spark, cur, runner.table, out,
+                                  min_window_bytes=min_bytes, flush=True)
+        return runner, out, emitted
+
+    src_a, dir_a, res_a = build_relay("a", 0)          # unbatched
+    src_b, dir_b, res_b = build_relay("b", 10 << 20)   # floor > any window
+
+    files_a = [f for f in os.listdir(dir_a) if f.startswith("window-")]
+    files_b = [f for f in os.listdir(dir_b) if f.startswith("window-")]
+    assert len(files_a) == 4          # one file per cycle without the floor
+    assert len(files_b) == 1          # all four cycles folded into one
+    assert sum(1 for r in res_b if r.get("token") is None) == 4  # deferrals
+
+    rep_a = ingest_debezium(spark, dir_a, str(tmp_path / "ra"), n_buckets=4)
+    rep_b = ingest_debezium(spark, dir_b, str(tmp_path / "rb"), n_buckets=4)
+    assert _live_rows(spark, rep_a) == _live_rows(spark, rep_b)
+    assert _live_rows(spark, rep_b) == _live_rows(spark, src_b.table)
