@@ -119,6 +119,18 @@ def get_spark(
         # hundred dirs is microseconds on any FS. At real lakehouse scale
         # file listing comes from the table manifest, not dir walking.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+        # Envelope parsing (cdc/envelope.py) references ~20 fields of ONE
+        # from_json struct. The per-access schema-pruning rule rewrites
+        # each reference into its OWN differently-pruned JsonToStructs —
+        # none of them equal, so codegen CSE cannot collapse them and the
+        # line is Jackson-parsed once PER FIELD. With the rule off all
+        # references share the identical full-schema parse and CSE reduces
+        # to ONE parse per line: measured 1.94-2.32 s -> 1.11-1.51 s on a
+        # 2M-line parse+agg (interleaved best-of-3, BENCH/PLANS.md). The
+        # engine's JSON reads all access most fields, so pruning never
+        # wins here.
+        .config("spark.sql.optimizer.enableJsonExpressionOptimization",
+                "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local mode: driver heap IS the executor heap; size it so
