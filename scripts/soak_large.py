@@ -84,14 +84,43 @@ def main() -> None:
     max_layers = max(layer_counts, default=0)
     audit = runner.reconcile_lineage()
 
-    # ---- independent oracle gate ------------------------------------
+    # ---- independent oracle gate (bucket-wise) ----------------------
+    # The r4 protocol's one-shot two-sided exceptAll OOM'd at 256M (two
+    # full-table full-row set-diffs resident at once). Bucket-wise gate:
+    # materialize the independent replay ONCE, partitioned by the same
+    # bucket transform the table uses, then compare bucket-range by
+    # bucket-range — the table side reads only that range's files (its
+    # native layout), the oracle side partition-prunes, and comparison
+    # memory is O(bucket range), not O(table). Same two-sided exceptAll
+    # semantics, same independence argument (the oracle plan still never
+    # touches engine machinery; the bucket column is added AFTER the
+    # replay purely to organize the comparison).
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from biomedica_etl_spark.cdc.oracle import FINAL_COLS
+    from biomedica_etl_spark.cdc.table import bucket_expr
+
     t1 = time.time()
     spark.conf.set("spark.sql.shuffle.partitions", str(max(CHECK_CORES * 4, 64)))
-    got = runner.final_state()
-    exp = spark_replay(spark, log)
-    extra = got.exceptAll(exp).count()
-    missing = exp.exceptAll(got).count()
-    final_rows = got.count()
+    n_buckets = runner.table.n_buckets
+    # oracle parquet on DISK, not tmpfs: the live table already occupies
+    # tmpfs; doubling that footprint in RAM is what broke the r4 attempt
+    oracle_scratch = tempfile.mkdtemp(prefix="soak-oracle-")
+    exp_dir = os.path.join(oracle_scratch, "expected")
+    (spark_replay(spark, log)
+     .withColumn("_b", bucket_expr("conv_id", n_buckets))
+     .repartition("_b")
+     .write.partitionBy("_b").parquet(exp_dir))
+    exp_all = spark.read.parquet(exp_dir)
+    extra = missing = final_rows = 0
+    group = int(os.environ.get("CHECK_BUCKET_GROUP", "16"))
+    for lo in range(0, n_buckets, group):
+        bs = list(range(lo, min(lo + group, n_buckets)))
+        got_b = runner.table.read(spark, buckets=bs).select(*FINAL_COLS)
+        exp_b = exp_all.filter(F.col("_b").isin(bs)).select(*FINAL_COLS)
+        extra += got_b.exceptAll(exp_b).count()
+        missing += exp_b.exceptAll(got_b).count()
+        final_rows += got_b.count()
     check_sec = time.time() - t1
 
     n = len(per_batch)
@@ -135,6 +164,7 @@ def main() -> None:
         )
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(oracle_scratch, ignore_errors=True)
     sys.exit(0 if out["pass"] else 1)
 
 
