@@ -786,9 +786,16 @@ def compact_layers(
     ``min_layers``. Tier-selected subsets always take the local plan
     (their size is bounded by construction: layers ≤ tier_max_bytes
     each); collapse folds route by bytes like any full fold.
-    ``tier_max_bytes=-1`` self-tunes: the tier is derived from the
-    freshest append's size at each fold (see the inline comment), so
-    callers need no knowledge of their payload's layer sizes."""
+    ``tier_max_bytes=-1`` self-tunes per bucket: each fold selects the
+    bucket's SMALLEST similar-size run of >= min_layers layers (run =
+    anchored at its smallest member, admitting layers <= 2.5x the
+    anchor) — fresh appends fold together, their merged outputs fold
+    with each other when a same-magnitude peer appears, and a grown
+    merged layer re-reads only when the rest of the bucket reaches its
+    own magnitude, so each row is minor-folded O(log(bucket/fresh))
+    times overall (see the inline comment for why a global anchor goes
+    quadratic under zipf skew). Callers need no knowledge of their
+    payload's layer sizes."""
     if plan not in ("auto", "local", "shuffle"):
         raise ValueError(
             f"plan must be 'auto', 'local' or 'shuffle', got {plan!r}")
@@ -806,38 +813,61 @@ def compact_layers(
         return sorted(glob.glob(os.path.join(table.root, d, "*.parquet")))
 
     # read set pinned via the planned snapshot's per-bucket file inventory
-    if tier_max_bytes < 0:
-        # AUTO tier: anchor on the freshest append. Per-bucket dir lists
-        # are structurally ordered — commit_delta APPENDS at the tail,
-        # commit_layer_rewrite puts the merged dir at the head — so the
-        # last dir of each eligible bucket is its most recent fresh
-        # layer. tier = 2.5x the largest of those: fresh layers always
-        # fit, and a merged layer leaves the tier exactly when its rows
-        # stopped collapsing (the case where leveled re-folding would go
-        # quadratic). Heavy-collapse tables self-correct to leveled
-        # folding (merged stays under the tier), which is the cheap and
-        # correct behavior there. max (not min) over buckets errs toward
-        # leveled — a perf tradeoff, never a correctness one.
-        tier_max_bytes = int(2.5 * max(
-            sum(os.path.getsize(f)
-                for f in _dir_files(snap["delta_dirs"][str(b)][-1]))
-            for b in eligible
-        )) or 1
-    if tier_max_bytes > 0:
+    if tier_max_bytes != 0:
         folded, files_by_bucket, subset_b = {}, {}, set()
         for b in eligible:
             dirs = list(snap["delta_dirs"][str(b)])
             per_dir = {d: _dir_files(d) for d in dirs}
-            small = [d for d in dirs
-                     if sum(os.path.getsize(f) for f in per_dir[d])
-                     <= tier_max_bytes]
+            sizes = {d: sum(os.path.getsize(f) for f in per_dir[d])
+                     for d in dirs}
             if tier_collapse_at > 0 and len(dirs) >= tier_collapse_at:
                 sel = dirs  # full fold: read-amplification bound reached
-            elif len(small) >= min_layers:
-                sel = small
-                subset_b.add(b)
+            elif tier_max_bytes < 0:
+                # AUTO tier (size-tiered LSM, per bucket): fold the
+                # SMALLEST similar-size run with >= min_layers members.
+                # A run is anchored at its smallest layer and admits
+                # layers <= 2.5x the anchor — fresh appends fold with
+                # fresh appends, the merged outputs later fold with each
+                # other when a same-magnitude peer appears, and a grown
+                # merged layer is only ever re-read once the rest of the
+                # bucket has grown to its own magnitude (geometric — each
+                # row is folded O(log(bucket/fresh)) times overall).
+                # Heavy-collapse tables self-correct to leveled folding:
+                # the merged layer stays fresh-append-sized, so it keeps
+                # qualifying for the smallest run, which is the cheap and
+                # correct behavior there. (The previous global anchor —
+                # 2.5x the LARGEST bucket's freshest append — let zipf
+                # skew re-admit every average bucket's grown merged layer
+                # forever: folds measured growing linearly with table
+                # size on the 128M/64-batch soak. The per-bucket run rule
+                # is what flattens them.)
+                by_size = sorted(dirs, key=lambda d: (sizes[d], d))
+                sel = None
+                i = 0
+                while i < len(by_size):
+                    anchor = max(sizes[by_size[i]], 1)
+                    run = [by_size[i]]
+                    j = i + 1
+                    while (j < len(by_size)
+                           and sizes[by_size[j]] <= 2.5 * anchor):
+                        run.append(by_size[j])
+                        j += 1
+                    if len(run) >= min_layers:
+                        sel = run
+                        break
+                    i = j
+                if sel is None:
+                    continue  # no foldable run: every tier is a singleton
+                if len(sel) < len(dirs):
+                    subset_b.add(b)
             else:
-                continue  # only large-tier layers at threshold: leave them
+                small = [d for d in dirs if sizes[d] <= tier_max_bytes]
+                if len(small) >= min_layers:
+                    sel = small
+                    if len(sel) < len(dirs):
+                        subset_b.add(b)
+                else:
+                    continue  # only large-tier layers: leave them
             folded[b] = sel
             files_by_bucket[b] = [f for d in sel for f in per_dir[d]]
         eligible = sorted(folded)
