@@ -209,6 +209,9 @@ def stream_apply_debezium(
             os.path.join(state_dir, f"pending-{prior[-1]:05d}"))
 
     def _apply(batch_df, epoch_id: int) -> None:
+        # persist: the split fans the epoch into four actions (see the
+        # batch applier) — without it each re-parses the stream batch
+        batch_df = batch_df.persist()
         complete, incomplete = txn_split(batch_df,
                                          _pending_before(epoch_id))
         mor_apply_batch(
@@ -243,6 +246,7 @@ def stream_apply_debezium(
             if d.startswith("pending-") and "." not in d)
         for d in done[:-2]:
             _sh.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        batch_df.unpersist()
 
     writer = (events.writeStream.foreachBatch(_apply)
               .option("checkpointLocation", checkpoint_dir)
